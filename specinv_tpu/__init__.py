@@ -1,0 +1,26 @@
+"""specinv_tpu — TPU-native spectrogram inversion.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``torch_specinv`` (yoyololicon/spectrogram-inversion): Griffin-Lim / Fast
+Griffin-Lim, RTISI-LA streaming inversion, ADMM phase retrieval, L-BFGS
+inversion of arbitrary differentiable transforms, SPSI phase initialization,
+and the sc/snr/ser metrics — all on-device, differentiable, batch-shardable
+over a TPU mesh.
+"""
+name = "specinv_tpu"
+__version__ = "0.1.0"
+
+from .metrics import sc, ser, snr, spectral_convergence  # noqa: F401
+from .models import griffin_lim, phase_init  # noqa: F401
+from .config import STFTConfig, canonicalize  # noqa: F401
+
+__all__ = [
+    "griffin_lim",
+    "phase_init",
+    "sc",
+    "snr",
+    "ser",
+    "spectral_convergence",
+    "STFTConfig",
+    "canonicalize",
+]

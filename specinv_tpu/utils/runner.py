@@ -1,0 +1,136 @@
+"""On-device iteration driver with reference-parity early stopping.
+
+TPU-native re-design of the reference's host-side ``_training_loop``
+(/root/reference/torch_specinv/methods.py:153-190).  The reference runs a
+Python loop that syncs the loss to the host every ``eva_iter`` steps
+(``.item()`` at methods.py:181-182) — a device round-trip per evaluation.
+Here the whole loop lives on-device:
+
+* ``mode="fori"`` (default): ``lax.fori_loop`` with a scalar ``done`` mask —
+  once the stop condition fires, subsequent state updates are frozen with
+  ``jnp.where`` so the final state equals the reference's break-out state while
+  the loop stays **reverse-mode differentiable** (the reference's tests demand
+  gradients through the default call path; see test_griffin.py:54-67).
+* ``mode="while"``: ``lax.while_loop`` that actually exits early — fastest for
+  inference, not reverse-differentiable (documented JAX limitation).
+
+Early-stop semantics reproduced exactly (methods.py:186-189): evaluate at
+iterations ``i % eva_iter == eva_iter - 1``; the first evaluation sets
+``init_loss``; stop when ``(prev_loss - l2) / init_loss < tol`` **and**
+``prev_loss > l2``.  With ``tol == 0`` the condition can never fire (it would
+require a strict loss increase and decrease simultaneously), so the evaluation
+machinery is skipped entirely at trace time.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..metrics import get_metric
+
+StepFn = Callable[..., Tuple]  # state -> (state, output)
+
+
+def _mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d = a - b
+    return jnp.mean((d * d).real)
+
+
+def _progress_print(i, metric_name, metric_val, loss):
+    print(f"iter {int(i) + 1}: {metric_name}={float(metric_val):.4f} loss={float(loss):.3e}")
+
+
+def iterate(
+    step_fn: StepFn,
+    state,
+    target: jnp.ndarray,
+    max_iter: int,
+    tol,
+    eva_iter: int = 10,
+    metric: str = "sc",
+    verbose: bool = False,
+    mode: str = "fori",
+):
+    """Run ``state, output = step_fn(state)`` for up to ``max_iter`` iterations.
+
+    ``output`` is compared against ``target`` (MSE) for the stop criterion,
+    exactly as the reference compares the pre-momentum magnitude against the
+    target spectrogram.  Returns the final state.
+    """
+    assert eva_iter > 0 and max_iter > 0
+    metric_fn = get_metric(metric)
+
+    no_eval = isinstance(tol, (int, float)) and tol == 0 and not verbose
+    if no_eval:
+        if mode == "while":
+            # No stop condition: plain fori is strictly cheaper.
+            mode = "fori"
+
+        def body(_, st):
+            st, _out = step_fn(st)
+            return st
+
+        return jax.lax.fori_loop(0, max_iter, body, state)
+
+    tol = jnp.asarray(tol)
+    real_dtype = jnp.zeros((), dtype=target.dtype).real.dtype
+    nan = jnp.array(jnp.nan, dtype=real_dtype)
+
+    def eval_and_stop(i, out, prev, init, done):
+        is_eval = (i % eva_iter) == (eva_iter - 1)
+        l2 = _mse(out, target).astype(real_dtype)
+        if verbose:
+            metric_val = metric_fn(out, target)
+
+            def _report(i_, l2_, m_, is_eval_):
+                if is_eval_:
+                    _progress_print(i_, metric, m_, l2_)
+
+            jax.debug.callback(_report, i, l2, metric_val, is_eval)
+        first = jnp.isnan(init)
+        new_init = jnp.where(is_eval & first, l2, init)
+        stop = (
+            is_eval
+            & ~first
+            & ((prev - l2) / new_init < tol)
+            & (prev > l2)
+        )
+        new_prev = jnp.where(is_eval, l2, prev)
+        return new_prev, new_init, done | stop
+
+    if mode == "fori":
+
+        def body(i, carry):
+            st, prev, init, done = carry
+            new_st, out = step_fn(st)
+            st = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(done, old, new), st, new_st
+            )
+            prev, init, done = eval_and_stop(i, out, prev, init, done)
+            return st, prev, init, done
+
+        state, _, _, _ = jax.lax.fori_loop(
+            0, max_iter, body, (state, nan, nan, jnp.array(False))
+        )
+        return state
+
+    if mode == "while":
+
+        def cond(carry):
+            i, _st, _prev, _init, done = carry
+            return (i < max_iter) & ~done
+
+        def body(carry):
+            i, st, prev, init, done = carry
+            st, out = step_fn(st)
+            prev, init, done = eval_and_stop(i, out, prev, init, done)
+            return i + 1, st, prev, init, done
+
+        _, state, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.array(0), state, nan, nan, jnp.array(False))
+        )
+        return state
+
+    raise ValueError(f"unknown mode {mode!r} (expected 'fori' or 'while')")

@@ -1,0 +1,144 @@
+"""Griffin-Lim: shape grid, stft-kwarg × differentiability grid (mirroring the
+reference's test families, SURVEY.md §4), plus golden convergence parity vs
+the torch reference — which the reference's own tests never check."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from specinv_tpu import griffin_lim, sc
+
+from .helpers import make_signal, nfft_list, torch_stft
+
+
+@pytest.mark.parametrize("x_sizes", [(4410,), (2, 4410), (1, 4410)])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("nfft", nfft_list)
+def test_empty_args(x_sizes, dtype, nfft):
+    x = make_signal(x_sizes, dtype=dtype)
+    spec = np.abs(torch_stft(x, nfft)).astype(dtype)
+    y = griffin_lim(spec, max_iter=4, verbose=False)
+    assert y.ndim == len(x_sizes)
+    if y.ndim > 1:
+        assert y.shape[0] == x.shape[0]
+        assert y.shape[1] <= x.shape[1]
+
+
+@pytest.mark.parametrize(
+    "win_length,use_hann", [(None, False), (300, False), (300, True)]
+)
+@pytest.mark.parametrize("hop_length", [None, 128])
+@pytest.mark.parametrize("center", [True, False])
+@pytest.mark.parametrize("normalized", [False, True])
+@pytest.mark.parametrize("onesided", [False, True])
+@pytest.mark.parametrize("pad_mode", ["reflect", "constant", "replicate", "circular"])
+def test_stft_args(win_length, use_hann, hop_length, center, normalized, onesided, pad_mode):
+    x = make_signal((4410,), dtype=np.float32)
+    n_fft = 512
+    window = (
+        torch.hann_window(win_length).numpy() if use_hann else None
+    )
+    spec = np.abs(
+        torch_stft(
+            x,
+            n_fft,
+            hop_length=hop_length,
+            win_length=win_length,
+            window=window,
+            center=center,
+            pad_mode=pad_mode,
+            normalized=normalized,
+            onesided=onesided,
+        )
+    ).astype(np.float32)
+
+    kwargs = dict(
+        hop_length=hop_length,
+        win_length=win_length,
+        window=window,
+        center=center,
+        pad_mode=pad_mode,
+        normalized=normalized,
+        onesided=onesided,
+    )
+
+    # Differentiability contract (reference: test_griffin.py:54-67) — the
+    # whole inversion must be reverse-differentiable w.r.t. the spectrogram.
+    def loss_fn(s):
+        y = griffin_lim(s, max_iter=2, verbose=False, **kwargs)
+        n = min(y.shape[0], x.shape[0])
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    g = jax.grad(loss_fn)(jnp.asarray(spec))
+    assert g.shape == spec.shape
+    assert not bool(jnp.all(g == 0))
+
+
+def _reference_gl(mag, n_fft, max_iter, **kwargs):
+    from torch_specinv.methods import griffin_lim as ref_gl
+
+    return ref_gl(
+        torch.from_numpy(mag), max_iter=max_iter, verbose=False, **kwargs
+    ).numpy()
+
+
+@pytest.mark.parametrize("use_hann", [False, True])
+def test_golden_convergence_parity(use_hann):
+    """Our GL and the reference must land on comparable spectral convergence
+    after the same number of iterations (same init, same numerics)."""
+    n_fft = 512
+    x = make_signal((4410,))
+    window = torch.hann_window(n_fft, dtype=torch.float64) if use_hann else None
+    wnp = window.numpy() if window is not None else None
+    mag = np.abs(torch_stft(x, n_fft, window=wnp))
+
+    ref_y = _reference_gl(mag, n_fft, 50, window=window)
+    ours_y = np.asarray(griffin_lim(mag, max_iter=50, verbose=False, window=wnp))
+
+    ref_mag = np.abs(torch_stft(ref_y, n_fft, window=wnp))
+    ours_mag = np.abs(torch_stft(np.asarray(ours_y), n_fft, window=wnp))
+    ref_sc = float(sc(jnp.asarray(ref_mag), jnp.asarray(mag)))
+    ours_sc = float(sc(jnp.asarray(ours_mag), jnp.asarray(mag)))
+    # Same algorithm, same seed phase -> nearly identical convergence.
+    assert abs(ours_sc - ref_sc) < 1e-3, (ours_sc, ref_sc)
+
+
+def test_waveform_parity_exact():
+    """Bitwise-tight trajectory parity in float64, few iterations."""
+    n_fft = 256
+    x = make_signal((4410,))
+    mag = np.abs(torch_stft(x, n_fft))
+    ref_y = _reference_gl(mag, n_fft, 8)
+    ours_y = np.asarray(griffin_lim(mag, max_iter=8, verbose=False))
+    np.testing.assert_allclose(ours_y, ref_y, atol=1e-8)
+
+
+def test_complex_input_skips_phase_init():
+    n_fft = 256
+    x = make_signal((4410,))
+    spec = torch_stft(x, n_fft)
+    y = griffin_lim(spec, max_iter=4, verbose=False)
+    assert y.ndim == 1
+
+
+def test_while_mode_matches_fori():
+    n_fft = 256
+    x = make_signal((4410,))
+    mag = np.abs(torch_stft(x, n_fft))
+    a = np.asarray(griffin_lim(mag, max_iter=12, verbose=False, mode="fori"))
+    b = np.asarray(griffin_lim(mag, max_iter=12, verbose=False, mode="while"))
+    np.testing.assert_allclose(a, b, atol=1e-10)
+
+
+def test_early_stop_freezes_state():
+    """tol large -> early stop after the second eval; result must equal the
+    reference's break-out behavior (state after the stopping iteration)."""
+    n_fft = 256
+    x = make_signal((4410,))
+    mag = np.abs(torch_stft(x, n_fft))
+    ref_y = _reference_gl(mag, n_fft, 100, tol=1.0, eva_iter=5)
+    ours_y = np.asarray(
+        griffin_lim(mag, max_iter=100, tol=1.0, eva_iter=5, verbose=False)
+    )
+    np.testing.assert_allclose(ours_y, ref_y, atol=1e-8)
