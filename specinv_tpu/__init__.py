@@ -11,10 +11,25 @@ name = "specinv_tpu"
 __version__ = "0.1.0"
 
 from .metrics import sc, ser, snr, spectral_convergence  # noqa: F401
-from .models import griffin_lim, phase_init  # noqa: F401
+from .models import (  # noqa: F401
+    ADMM,
+    L_BFGS,
+    RTISI_LA,
+    admm,
+    griffin_lim,
+    l_bfgs,
+    phase_init,
+    rtisi_la,
+)
 from .config import STFTConfig, canonicalize  # noqa: F401
 
 __all__ = [
+    "ADMM",
+    "admm",
+    "L_BFGS",
+    "l_bfgs",
+    "RTISI_LA",
+    "rtisi_la",
     "griffin_lim",
     "phase_init",
     "sc",

@@ -1,0 +1,154 @@
+"""ADMM phase retrieval (Bregman / proximal-splitting form), TPU-native.
+
+Reference: ``ADMM`` at /root/reference/torch_specinv/methods.py:415-506
+(Griffin-Lim-like phase recovery via the alternating direction method of
+multipliers).  Update order preserved exactly (methods.py:464-477):
+
+    R = stft(x);  Z = (rho*Y + R) / (1 + rho);  U += X - Z
+    X = proj_mag(Z - U);  Y = X + U;  x = istft(Y)
+
+with ``rho = 1`` behaving like Griffin-Lim, and the pre-projection magnitude
+``|R|`` as the metric/stop output (methods.py:464-465).
+
+State is the 4-tuple pytree ``(X, Y, U, x)``; the loop runs fully on-device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STFTConfig
+from ..ops import fourier
+from ..ops.stft import istft, make_envelope, stft
+from ..utils.runner import iterate
+from .common import prepare_spec, restore_output
+from .griffin_lim import magnitude_project
+from .phase_init import phase_init_tm
+
+
+class ADMMState(NamedTuple):
+    X: jnp.ndarray  # (B, T, F) complex — projection-side variable
+    Y: jnp.ndarray  # (B, T, F) complex — synthesis-side variable
+    U: jnp.ndarray  # (B, T, F) complex — scaled dual variable
+    x: jnp.ndarray  # (B, L) waveform
+
+
+def init(
+    init_spec_tm: jnp.ndarray,
+    cfg: STFTConfig,
+    window: jnp.ndarray,
+    envelope: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+) -> ADMMState:
+    x = istft(init_spec_tm, cfg, window, envelope=envelope, backend=backend)
+    return ADMMState(
+        X=init_spec_tm,
+        Y=init_spec_tm,
+        U=jnp.zeros_like(init_spec_tm),
+        x=x,
+    )
+
+
+def step(
+    state: ADMMState,
+    target_tm: jnp.ndarray,
+    rho,
+    cfg: STFTConfig,
+    window: jnp.ndarray,
+    envelope: jnp.ndarray,
+    backend: str = "auto",
+):
+    """One ADMM iteration. Returns (state, pre-projection magnitude)."""
+    R = stft(state.x, cfg, window, backend=backend)
+    output = jnp.abs(R)
+    Z = (rho * state.Y + R) / (1 + rho)
+    U = state.U + state.X - Z
+    X = magnitude_project(Z - U, target_tm)
+    Y = X + U
+    x = istft(Y, cfg, window, envelope=envelope, backend=backend)
+    return ADMMState(X=X, Y=Y, U=U, x=x), output
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend"),
+)
+def run_tm(
+    target_tm: jnp.ndarray,
+    init_spec_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    rho: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    max_iter: int = 1000,
+    eva_iter: int = 10,
+    metric: str = "sc",
+    verbose: bool = False,
+    mode: str = "fori",
+    backend: str = "auto",
+) -> jnp.ndarray:
+    envelope = make_envelope(cfg, window, target_tm.shape[-2])
+    state = init(init_spec_tm, cfg, window, envelope=envelope, backend=backend)
+    step_fn = partial(
+        step,
+        target_tm=target_tm,
+        rho=rho,
+        cfg=cfg,
+        window=window,
+        envelope=envelope,
+        backend=backend,
+    )
+    state = iterate(
+        step_fn,
+        state,
+        target_tm,
+        max_iter=max_iter,
+        tol=tol,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode=mode,
+    )
+    return state.x
+
+
+def ADMM(
+    spec,
+    max_iter: int = 1000,
+    tol: float = 1e-6,
+    rho: float = 0.1,
+    verbose: bool = True,
+    eva_iter: int = 10,
+    metric: str = "sc",
+    mode: str = "fori",
+    backend: str = "auto",
+    **stft_kwargs,
+):
+    """Reference-parity entry point (methods.py:415-506)."""
+    assert eva_iter > 0 and max_iter > 0 and tol >= 0
+    spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
+    if jnp.iscomplexobj(spec_tm):
+        cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
+    else:
+        cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    x = run_tm(
+        target_tm,
+        cmplx_tm,
+        window,
+        jnp.asarray(rho, dtype=target_tm.dtype),
+        jnp.asarray(tol, dtype=target_tm.dtype),
+        cfg,
+        max_iter=max_iter,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode=mode,
+        backend=backend,
+    )
+    return restore_output(x, was_2d)
+
+
+admm = ADMM

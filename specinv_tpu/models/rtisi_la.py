@@ -1,0 +1,223 @@
+"""RTISI-LA: Real-Time Iterative Spectrogram Inversion with Look-Ahead.
+
+Reference: ``RTISI_LA`` at /root/reference/torch_specinv/methods.py:273-412.
+Frame-sequential (causal) inversion: each output frame is committed after
+``max_iter`` Griffin-Lim refinements over a small look-ahead window, with
+momentum, an optional asymmetric analysis window on the newest frame, and a
+committed-frame buffer providing the past context.
+
+TPU-native design: the outer frame loop is a ``lax.scan`` carrying the pytree
+``(keeped_chunk, update_chunk, pre_spec)`` — time-major ``(B, frames, n_fft)``
+buffers — and the inner refinement loop is a ``lax.fori_loop``.  The
+reference's ``unfold``-based asymmetric-window analysis (methods.py:371-383)
+becomes a static-shaped framing + per-frame window matrix; its two momentum
+special cases (methods.py:387-392) collapse into one formula because the
+initial ``pre_spec`` carry is zero (subtracting ``lr * 0`` reproduces the
+"no momentum on the very first step" behavior exactly).
+
+Numerics preserved: ``synth_coeff = hop / (w @ w)`` (318), asymmetric windows
+built from flipped-window partial sums (326-336), frame-shifted first-inner-
+iteration momentum (389-391), projection epsilon 1e-16 (394), first-LA-commits
+discard + final window^2-normalized OLA (406-408).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STFTConfig
+from ..ops import fourier
+from ..ops.framing import frame, overlap_add
+from ..ops.stft import make_envelope
+from .common import as_array as common_as_array
+from .common import prepare_spec, restore_output
+from .griffin_lim import PROJ_EPS
+
+
+class RTISIState(NamedTuple):
+    keeped: jnp.ndarray    # (B, num_keep, n_fft) committed time-domain frames
+    update: jnp.ndarray    # (B, LA+1, n_fft) in-flight time-domain frames
+    pre_spec: jnp.ndarray  # (B, LA+1, F) momentum spectrum from previous pass
+
+
+def _asym_windows(window: jnp.ndarray, hop: int, num_keep: int, synth_coeff):
+    """The two asymmetric synthesis-aware analysis windows (methods.py:326-336)."""
+    n = window.shape[0]
+    flipped = window[::-1]
+    aw1 = jnp.zeros_like(window)
+    for i in range(num_keep):
+        off = (i + 1) * hop
+        aw1 = aw1.at[off:].add(flipped[: n - off])
+    aw2 = jnp.zeros_like(window)
+    for i in range(num_keep + 1):
+        off = i * hop
+        aw2 = aw2.at[off:].add(flipped[: n - off] if off else flipped)
+    return aw1 * synth_coeff, aw2 * synth_coeff
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "look_ahead",
+        "asymmetric_window",
+        "max_iter",
+        "verbose",
+        "backend",
+    ),
+)
+def run_tm(
+    target_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    lr: jnp.ndarray,
+    cfg: STFTConfig,
+    look_ahead: int,
+    asymmetric_window: bool = False,
+    max_iter: int = 25,
+    verbose: bool = False,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L)."""
+    B, steps, F = target_tm.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    la = look_ahead
+    num_keep = (n_fft - 1) // hop
+
+    synth_coeff = hop / jnp.sum(window * window)
+    aw1, aw2 = _asym_windows(window, hop, num_keep, synth_coeff)
+
+    # Pad the target by `la` frames on both sides of the time axis (339).
+    target_pad = jnp.pad(target_tm, ((0, 0), (la, la), (0, 0)))
+
+    fwd = partial(fourier.forward, cfg=cfg, backend=backend)
+    inv = partial(fourier.inverse, cfg=cfg, backend=backend)
+
+    # First frame seeded with zero phase (352-358).
+    first = inv(target_pad[:, la : la + 1].astype(target_pad.dtype) + 0j)
+    update0 = jnp.concatenate(
+        [jnp.zeros((B, la, n_fft), first.dtype), first], axis=1
+    )
+    state0 = RTISIState(
+        keeped=jnp.zeros((B, num_keep, n_fft), first.dtype),
+        update=update0,
+        pre_spec=jnp.zeros(
+            (B, la + 1, F), dtype=jnp.result_type(first.dtype, jnp.complex64)
+        ),
+    )
+
+    synth_window = window * synth_coeff
+
+    def refine(j, carry, target_slice, update, keeped):
+        pre_spec = carry
+        # Windowed OLA of committed + in-flight frames, no normalization (365-368).
+        all_frames = jnp.concatenate([keeped, update], axis=1) * synth_window
+        x = overlap_add(all_frames, hop)
+        x = x[..., num_keep * hop :]  # drop the committed prefix (370)
+
+        frames_x = frame(x, n_fft, hop)  # (B, la+1, n_fft)
+        if asymmetric_window:
+            asym = jnp.where(j == 0, aw1, aw2)
+            w_rows = jnp.concatenate(
+                [jnp.broadcast_to(window, (la, n_fft)), asym[None]], axis=0
+            )
+            new_spec = fwd(frames_x * w_rows)
+        else:
+            new_spec = fwd(frames_x * window)
+
+        # Momentum: j>0 -> plain; j==0 -> frame-shifted (387-392). Both
+        # branches are cheap on (la+1) frames; select elementwise.
+        plain = new_spec - lr * pre_spec
+        shifted = jnp.concatenate(
+            [new_spec[:, :-1] - lr * pre_spec[:, 1:], new_spec[:, -1:]], axis=1
+        )
+        new_spec = jnp.where(j == 0, shifted, plain)
+        pre_spec = new_spec
+
+        proj = new_spec * (target_slice / (jnp.abs(new_spec) + PROJ_EPS))
+        update = inv(proj)
+        return pre_spec, update
+
+    def outer(state: RTISIState, i):
+        target_slice = jax.lax.dynamic_slice_in_dim(target_pad, i, la + 1, axis=1)
+
+        def body(j, carry):
+            pre_spec, update = carry
+            pre_spec, update = refine(j, pre_spec, target_slice, update, state.keeped)
+            return pre_spec, update
+
+        pre_spec, update = jax.lax.fori_loop(
+            0, max_iter, body, (state.pre_spec, state.update)
+        )
+
+        committed = update[:, 0]  # (B, n_fft) — committed this step (401)
+        if num_keep == 0:
+            keeped = state.keeped  # hop >= win_length: no inter-frame overlap
+        else:
+            keeped = jnp.concatenate([state.keeped[:, 1:], update[:, :1]], axis=1)
+        update = jnp.concatenate(
+            [update[:, 1:], jnp.zeros_like(update[:, :1])], axis=1
+        )
+        if verbose:
+            jax.debug.callback(
+                lambda i_: print(f"rtisi-la frame {int(i_) + 1}/{steps + la}"), i
+            )
+        return RTISIState(keeped=keeped, update=update, pre_spec=pre_spec), committed
+
+    _, frames_out = jax.lax.scan(
+        outer, state0, jnp.arange(steps + la)
+    )  # frames_out: (steps+la, B, n_fft)
+
+    all_xt = jnp.moveaxis(frames_out[la:], 0, 1)  # (B, steps, n_fft)
+
+    # Final synthesis: windowed OLA + window^2 envelope (406-408).
+    x = overlap_add(all_xt * window, hop)
+    envelope = make_envelope(cfg, window, steps)
+    p = cfg.pad_amount
+    if p:
+        x = x[..., p:-p]
+    envelope = jnp.where(envelope == 0, jnp.ones_like(envelope), envelope)
+    return x / envelope
+
+
+def RTISI_LA(
+    spec,
+    look_ahead: int = -1,
+    asymmetric_window: bool = False,
+    max_iter: int = 25,
+    alpha: float = 0.99,
+    verbose=1,
+    backend: str = "auto",
+    **stft_kwargs,
+):
+    """Reference-parity entry point (methods.py:273-412).
+
+    ``look_ahead=-1`` uses ``(win_length - 1) // hop`` future frames; ``0``
+    disables look-ahead (original RTISI).  Input must be a magnitude
+    spectrogram ``(F, T)`` / ``(B, F, T)``.
+    """
+    assert max_iter > 0 and alpha >= 0
+    spec = common_as_array(spec)
+    if jnp.iscomplexobj(spec):
+        raise ValueError("RTISI_LA expects a magnitude (real) spectrogram")
+    spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
+    num_keep = (cfg.n_fft - 1) // cfg.hop_length
+    la = num_keep if look_ahead < 0 else look_ahead
+    lr = jnp.asarray(alpha / (1 + alpha), dtype=spec_tm.dtype)
+    x = run_tm(
+        spec_tm,
+        window,
+        lr,
+        cfg,
+        look_ahead=la,
+        asymmetric_window=asymmetric_window,
+        max_iter=max_iter,
+        verbose=False,  # per-frame host prints would serialize the scan
+        backend=backend,
+    )
+    return restore_output(x, was_2d)
+
+
+rtisi_la = RTISI_LA

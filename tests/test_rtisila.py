@@ -1,0 +1,110 @@
+"""RTISI-LA: shape grid, kwarg grid with look-ahead/asym variants,
+differentiability, and golden parity vs the reference."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from specinv_tpu import RTISI_LA
+
+from .helpers import make_signal, nfft_list, torch_stft
+
+
+@pytest.mark.parametrize("x_sizes", [(4410,), (2, 4410), (1, 4410)])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("nfft", nfft_list)
+def test_empty_args(x_sizes, dtype, nfft):
+    x = make_signal(x_sizes, dtype=dtype)
+    spec = np.abs(torch_stft(x, nfft)).astype(dtype)
+    y = RTISI_LA(spec, max_iter=4, verbose=False)
+    assert y.ndim == len(x_sizes)
+    if y.ndim > 1:
+        assert y.shape[0] == x.shape[0]
+        assert y.shape[1] <= x.shape[1]
+
+
+@pytest.mark.parametrize("look_ahead", [-1, 2, 0])
+@pytest.mark.parametrize("asymmetric_window", [False, True])
+@pytest.mark.parametrize("hop_length", [None, 128])
+@pytest.mark.parametrize("center", [True, False])
+@pytest.mark.parametrize("onesided", [True, False])
+def test_stft_args(look_ahead, asymmetric_window, hop_length, center, onesided):
+    x = make_signal((4410,), dtype=np.float32)
+    n_fft = 512
+    spec = np.abs(
+        torch_stft(x, n_fft, hop_length=hop_length, center=center, onesided=onesided)
+    ).astype(np.float32)
+    kwargs = dict(hop_length=hop_length, center=center, onesided=onesided)
+
+    def loss_fn(s):
+        y = RTISI_LA(
+            s, look_ahead=look_ahead, asymmetric_window=asymmetric_window,
+            max_iter=2, verbose=False, **kwargs,
+        )
+        n = min(y.shape[0], x.shape[0])
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    g = jax.grad(loss_fn)(jnp.asarray(spec))
+    assert g.shape == spec.shape
+    assert not bool(jnp.all(g == 0))
+
+
+@pytest.mark.parametrize("look_ahead", [-1, 2, 0])
+@pytest.mark.parametrize("asymmetric_window", [False, True])
+def test_waveform_parity_exact(look_ahead, asymmetric_window):
+    """Machine-precision parity on a short spec.  (On long signals the causal
+    recursion amplifies last-bit FFT-backend differences exponentially — ~x2
+    per committed frame — so exact comparison is only meaningful over a short
+    horizon; long-horizon parity is asserted as quality in
+    test_quality_parity_long.)"""
+    from torch_specinv.methods import RTISI_LA as ref_rtisi
+
+    n_fft = 256
+    x = make_signal((4410,))
+    mag = np.abs(torch_stft(x, n_fft))[:, :12]
+    ref_y = ref_rtisi(
+        torch.from_numpy(mag), look_ahead=look_ahead,
+        asymmetric_window=asymmetric_window, max_iter=4, verbose=False,
+    ).numpy()
+    ours_y = np.asarray(
+        RTISI_LA(
+            mag, look_ahead=look_ahead, asymmetric_window=asymmetric_window,
+            max_iter=4, verbose=False,
+        )
+    )
+    assert ours_y.shape == ref_y.shape
+    np.testing.assert_allclose(ours_y, ref_y, atol=1e-10)
+
+
+def test_quality_parity_long():
+    from torch_specinv.methods import RTISI_LA as ref_rtisi
+    from specinv_tpu import sc
+
+    n_fft = 256
+    x = make_signal((4410,))
+    mag = np.abs(torch_stft(x, n_fft))
+    ref_y = ref_rtisi(torch.from_numpy(mag), look_ahead=3, max_iter=8, verbose=False).numpy()
+    ours_y = np.asarray(RTISI_LA(mag, look_ahead=3, max_iter=8, verbose=False))
+    ref_sc = float(sc(jnp.asarray(np.abs(torch_stft(ref_y, n_fft))), jnp.asarray(mag)))
+    ours_sc = float(sc(jnp.asarray(np.abs(torch_stft(ours_y, n_fft))), jnp.asarray(mag)))
+    assert abs(ours_sc - ref_sc) < 0.3, (ours_sc, ref_sc)
+
+
+def test_quality_reasonable():
+    from specinv_tpu import sc
+
+    n_fft = 512
+    x = make_signal((8192,))
+    mag = np.abs(torch_stft(x, n_fft))
+    y = np.asarray(RTISI_LA(mag, look_ahead=3, max_iter=10, verbose=False))
+    recon = np.abs(torch_stft(y, n_fft))
+    got = float(sc(jnp.asarray(recon), jnp.asarray(mag)))
+    assert got < -9, got
+
+
+def test_rejects_complex():
+    x = make_signal((4410,))
+    spec = torch_stft(x, 256)
+    with pytest.raises(ValueError):
+        RTISI_LA(spec, verbose=False)
