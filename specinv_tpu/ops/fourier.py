@@ -101,6 +101,10 @@ def forward(
     cos, sin = _forward_matrices(
         cfg.n_fft, cfg.onesided, cfg.normalized, _real_dtype(frames.dtype)
     )
+    # The barrier stops XLA from fusing the strided framing producer into the
+    # dot operand — that fusion sends TPU layout assignment into a tailspin
+    # (observed >500s compiles without it, ~3s with, identical runtime).
+    frames = jax.lax.optimization_barrier(frames)
     re = jnp.matmul(frames, cos, precision=precision)
     im = -jnp.matmul(frames, sin, precision=precision)
     return jax.lax.complex(re, im)
@@ -125,6 +129,9 @@ def inverse(
     ci, si = _inverse_matrices(
         cfg.n_fft, cfg.onesided, cfg.normalized, _real_dtype(spec.dtype)
     )
-    return jnp.matmul(spec.real, ci, precision=precision) + jnp.matmul(
+    out = jnp.matmul(spec.real, ci, precision=precision) + jnp.matmul(
         spec.imag, si, precision=precision
     )
+    # Mirror of the forward barrier: keep the overlap-add consumer (slices/
+    # pads/concats) from being fused into the dot output.
+    return jax.lax.optimization_barrier(out)

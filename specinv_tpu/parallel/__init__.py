@@ -1,0 +1,11 @@
+from .batch import batched
+from .mesh import batch_sharding, make_mesh, shard_batch
+from .seq import griffin_lim_seq
+
+__all__ = [
+    "batched",
+    "batch_sharding",
+    "make_mesh",
+    "shard_batch",
+    "griffin_lim_seq",
+]

@@ -1,0 +1,244 @@
+"""Sequence-parallel Griffin-Lim: shard the time axis across chips.
+
+For clips too long for one chip (or to cut latency on long audio), the
+time-frame axis is sharded over the mesh's ``seq`` axis.  The *only*
+cross-shard dependencies in a Griffin-Lim iteration are at chunk boundaries:
+
+* analysis framing needs ``H = n_fft - hop`` samples of right-neighbor signal
+  (halo) for its last frames;
+* synthesis overlap-add spills ``H`` samples past the chunk's right edge into
+  the left of the next shard.
+
+Both are a single ``lax.ppermute`` of an ``(B, H)`` slab per iteration —
+nearest-neighbor traffic that rides the ICI ring.  Everything else (DFTs,
+momentum, projection, envelope divide) is local.  The reference has no
+equivalent (single-device only; SURVEY.md §5 "long-context: absent").
+
+Geometry (all static):
+    T frames  -> padded to ``n * Ts`` frames; chunk owns ``C = Ts * hop``
+    samples in *padded* coordinates (the center-pad lives inside shard 0 /
+    shard n-1's chunks).  Per iteration each shard recomputes its local
+    center-pad region by reflecting its own divided samples, exactly like the
+    unsharded path re-pads every analysis call.
+
+Supported: ``pad_mode`` 'reflect'/'constant'/'replicate' (circular would need
+an end-to-end exchange; unsupported), real windows, fixed or tol-based
+iteration counts (the stop loss is psum-reduced across shards).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import STFTConfig
+from ..ops import fourier
+from ..ops.framing import frame, ola_envelope, overlap_add, pad_center
+from ..ops.stft import istft
+from ..utils.runner import iterate
+from ..models.common import prepare_spec, restore_output
+from ..models.griffin_lim import PROJ_EPS
+from ..models.phase_init import phase_init_tm
+
+
+def _geometry(cfg: STFTConfig, T: int, n: int):
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    k = math.ceil(n_fft / hop)
+    Ts = math.ceil((T + k - 1) / n)
+    T_pad = n * Ts
+    C = Ts * hop
+    H = n_fft - hop
+    P_amt = cfg.pad_amount
+    Lp = (T - 1) * hop + n_fft
+    L_out = Lp - 2 * P_amt
+    if H > C:
+        raise ValueError(
+            f"chunk too small: {Ts} frames x hop {hop} < halo {H}; use fewer seq shards"
+        )
+    if P_amt and 2 * P_amt + 1 > C:
+        raise ValueError("signal too short for this seq mesh (left pad spans shards)")
+    b_end = P_amt + L_out - 1  # last real sample, padded coords
+    e_local = b_end - (n - 1) * C
+    if P_amt and (e_local - P_amt < 0 or e_local + P_amt >= C):
+        raise ValueError("signal too short for this seq mesh (right pad spans shards)")
+    return Ts, T_pad, C, H, Lp, L_out, b_end, e_local
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "max_iter", "eva_iter", "shard_batch_axis", "backend"),
+)
+def _run_seq(
+    target_tm: jnp.ndarray,
+    init_spec_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    lr: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    mesh: Mesh,
+    max_iter: int,
+    eva_iter: int,
+    shard_batch_axis: bool,
+    backend: str,
+) -> jnp.ndarray:
+    n = mesh.shape["seq"]
+    B, T, F = target_tm.shape
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    P_amt = cfg.pad_amount
+    Ts, T_pad, C, H, Lp, L_out, b_end, e_local = _geometry(cfg, T, n)
+
+    if cfg.pad_mode == "circular" and P_amt:
+        raise NotImplementedError("seq-parallel path does not support circular padding")
+
+    # --- global precompute (tiny, done once) ---------------------------------
+    target_pad = jnp.pad(target_tm, ((0, 0), (0, T_pad - T), (0, 0)))
+
+    # Initial synthesis, unsharded (one-shot): x0 (B, L_out) -> padded coords.
+    x0 = istft(init_spec_tm, cfg, window, backend=backend)
+    x_pad0 = pad_center(x0, cfg)
+    x_pad0 = jnp.pad(x_pad0, ((0, 0), (0, n * C - Lp)))
+
+    # Envelope + interior mask in padded coordinates, length n*C.
+    win_sq = window * window
+    env = ola_envelope(win_sq, T, hop)  # (Lp,)
+    env = jnp.pad(env, (0, n * C - Lp))
+    env = jnp.where(env == 0, jnp.ones_like(env), env)
+    interior = jnp.zeros((n * C,), dtype=bool).at[P_amt : P_amt + L_out].set(True)
+
+    fwd = partial(fourier.forward, cfg=cfg, backend=backend)
+    inv = partial(fourier.inverse, cfg=cfg, backend=backend)
+
+    right_to_left = [(s + 1, s) for s in range(n - 1)]  # receive right head
+    left_to_right = [(s, s + 1) for s in range(n - 1)]  # receive left tail
+
+    batch_p = "data" if shard_batch_axis else None
+
+    def shard_body(tgt_loc, x_chunk0, pre0, env_loc, mask_loc, window_, lr_, tol_):
+        idx = jax.lax.axis_index("seq")
+
+        def step(state):
+            x_chunk, pre = state
+            halo = jax.lax.ppermute(x_chunk[..., :H], "seq", right_to_left)
+            x_ext = jnp.concatenate([x_chunk, halo], axis=-1)  # (B', C+H)
+            frames = frame(x_ext, n_fft, hop)  # (B', Ts, n_fft)
+            S = fwd(frames * window_)
+            out = jnp.abs(S)
+            S = S - lr_ * pre
+            pre = S
+            S = S * (tgt_loc / (jnp.abs(S) + PROJ_EPS))
+            fr = inv(S) * window_
+            y = overlap_add(fr, hop)  # (B', C+H)
+            tail = jax.lax.ppermute(y[..., C:], "seq", left_to_right)
+            y_own = y[..., :C].at[..., :H].add(tail)
+
+            x_div = jnp.where(mask_loc, y_own / env_loc, jnp.zeros_like(y_own))
+            if P_amt:
+                if cfg.jnp_pad_mode == "reflect":
+                    left_vals = x_div[..., 2 * P_amt : P_amt : -1]
+                    right_vals = x_div[..., e_local - P_amt : e_local][..., ::-1]
+                elif cfg.jnp_pad_mode == "edge":
+                    left_vals = jnp.broadcast_to(
+                        x_div[..., P_amt : P_amt + 1], (*x_div.shape[:-1], P_amt)
+                    )
+                    right_vals = jnp.broadcast_to(
+                        x_div[..., e_local : e_local + 1], (*x_div.shape[:-1], P_amt)
+                    )
+                else:  # constant: already zero outside the interior
+                    left_vals = right_vals = None
+                if left_vals is not None:
+                    on_first = (idx == 0)
+                    x_left = x_div.at[..., :P_amt].set(left_vals)
+                    x_div = jnp.where(on_first, x_left, x_div)
+                    on_last = (idx == n - 1)
+                    x_right = x_div.at[..., e_local + 1 : e_local + 1 + P_amt].set(
+                        right_vals
+                    )
+                    x_div = jnp.where(on_last, x_right, x_div)
+            return (x_div, pre), out
+
+        total = B * T * F  # true element count (padded frames contribute ~0)
+
+        def psum_mse(out, tgt):
+            d = out - tgt
+            local = jnp.sum((d * d).real)
+            axes = ("seq",) if not shard_batch_axis else ("seq", "data")
+            return jax.lax.psum(local, axes) / total
+
+        state = iterate(
+            step,
+            (x_chunk0, pre0),
+            tgt_loc,
+            max_iter=max_iter,
+            tol=tol_,
+            eva_iter=eva_iter,
+            loss_fn=psum_mse,
+            mode="fori",
+        )
+        return state[0]
+
+    pre0 = jnp.zeros((B, T_pad, F), dtype=init_spec_tm.dtype)
+    # Seed momentum with the initial spectrum (matches unsharded init state).
+    pre0 = pre0.at[:, :T].set(init_spec_tm)
+
+    x_out = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(
+            P(batch_p, "seq", None),   # target (B, T_pad, F)
+            P(batch_p, "seq"),         # x chunks (B, n*C)
+            P(batch_p, "seq", None),   # pre_spec (B, T_pad, F)
+            P("seq"),                  # envelope (n*C,)
+            P("seq"),                  # interior mask (n*C,)
+            P(),                       # window
+            P(),                       # lr
+            P(),                       # tol
+        ),
+        out_specs=P(batch_p, "seq"),
+        check_vma=False,
+    )(target_pad, x_pad0, pre0, env, interior, window, lr, tol)
+
+    return x_out[..., P_amt : P_amt + L_out]
+
+
+def griffin_lim_seq(
+    spec,
+    mesh: Mesh,
+    max_iter: int = 200,
+    tol: float = 0.0,
+    alpha: float = 0.99,
+    eva_iter: int = 10,
+    shard_batch_axis: bool = False,
+    backend: str = "auto",
+    **stft_kwargs,
+):
+    """Sequence-parallel Griffin-Lim over ``mesh``'s ``seq`` axis.
+
+    Same numerics as :func:`specinv_tpu.griffin_lim` (momentum, projection,
+    envelope) with the time axis sharded; per-iteration communication is two
+    nearest-neighbor ``ppermute`` halo slabs of ``n_fft - hop`` samples.
+    """
+    assert alpha >= 0
+    spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
+    if jnp.iscomplexobj(spec_tm):
+        cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
+    else:
+        cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    lr = jnp.asarray(alpha / (1 + alpha), dtype=target_tm.dtype)
+    x = _run_seq(
+        target_tm,
+        cmplx_tm,
+        window,
+        lr,
+        jnp.asarray(tol, dtype=target_tm.dtype),
+        cfg,
+        mesh,
+        max_iter=max_iter,
+        eva_iter=eva_iter,
+        shard_batch_axis=shard_batch_axis,
+        backend=backend,
+    )
+    return restore_output(x, was_2d)

@@ -52,15 +52,21 @@ def iterate(
     metric: str = "sc",
     verbose: bool = False,
     mode: str = "fori",
+    loss_fn: Callable = None,
 ):
     """Run ``state, output = step_fn(state)`` for up to ``max_iter`` iterations.
 
     ``output`` is compared against ``target`` (MSE) for the stop criterion,
     exactly as the reference compares the pre-momentum magnitude against the
     target spectrogram.  Returns the final state.
+
+    ``loss_fn(output, target) -> scalar`` overrides the MSE criterion — used
+    by the sequence-parallel path to psum the loss across mesh shards.
     """
     assert eva_iter > 0 and max_iter > 0
     metric_fn = get_metric(metric)
+    if loss_fn is None:
+        loss_fn = _mse
 
     no_eval = isinstance(tol, (int, float)) and tol == 0 and not verbose
     if no_eval:
@@ -80,7 +86,7 @@ def iterate(
 
     def eval_and_stop(i, out, prev, init, done):
         is_eval = (i % eva_iter) == (eva_iter - 1)
-        l2 = _mse(out, target).astype(real_dtype)
+        l2 = loss_fn(out, target).astype(real_dtype)
         if verbose:
             metric_val = metric_fn(out, target)
 

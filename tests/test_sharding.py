@@ -1,0 +1,131 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest).
+
+This is our substitute for distributed tests the reference lacks entirely
+(SURVEY.md §2.3/§4): batch-DP parity, sequence-parallel parity (including the
+per-iteration ppermute halo exchange), and mesh-construction errors.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from specinv_tpu import ADMM, griffin_lim
+from specinv_tpu.parallel.batch import batched
+from specinv_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from specinv_tpu.parallel.seq import griffin_lim_seq
+
+from .helpers import make_signal, torch_stft
+
+
+def _spec(batch=8, n=22050, nfft=512, **kw):
+    x = make_signal((batch, n))
+    return np.abs(torch_stft(x, nfft, **kw))
+
+
+def test_mesh_construction():
+    mesh = make_mesh(data=2, seq=4)
+    assert mesh.shape == {"data": 2, "seq": 4}
+    mesh = make_mesh()  # all devices on data
+    assert mesh.shape["data"] == 8
+    with pytest.raises(ValueError):
+        make_mesh(data=16, seq=1)
+    with pytest.raises(ValueError):
+        make_mesh(seq=3)
+
+
+def test_batched_dp_matches_unsharded():
+    mesh = make_mesh(data=8, seq=1)
+    spec = _spec(batch=8)
+    ref = np.asarray(griffin_lim(spec, max_iter=10, tol=0.0, verbose=False))
+    out = batched(griffin_lim, mesh)(spec, max_iter=10, tol=0.0, verbose=False)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
+def test_batched_dp_admm():
+    mesh = make_mesh(data=8, seq=1)
+    spec = _spec(batch=8)
+    ref = np.asarray(ADMM(spec, max_iter=6, tol=0.0, verbose=False))
+    out = batched(ADMM, mesh)(spec, max_iter=6, tol=0.0, verbose=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
+def test_batched_rejects_2d():
+    mesh = make_mesh(data=8, seq=1)
+    with pytest.raises(ValueError):
+        batched(griffin_lim, mesh)(np.ones((257, 40), np.float64))
+
+
+@pytest.mark.parametrize("center", [True, False])
+@pytest.mark.parametrize("use_hann", [False, True])
+def test_seq_parallel_matches_unsharded(center, use_hann):
+    mesh = make_mesh(data=1, seq=8)
+    nfft = 512
+    window = torch.hann_window(nfft, dtype=torch.float64).numpy() if use_hann else None
+    x = make_signal((44100,))
+    spec = np.abs(torch_stft(x, nfft, center=center, window=window))
+    ref = np.asarray(
+        griffin_lim(spec, max_iter=12, tol=0.0, verbose=False, center=center, window=window)
+    )
+    out = np.asarray(
+        griffin_lim_seq(spec, mesh, max_iter=12, center=center, window=window)
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "constant", "replicate"])
+def test_seq_parallel_pad_modes(pad_mode):
+    mesh = make_mesh(data=1, seq=4)
+    x = make_signal((22050,))
+    spec = np.abs(torch_stft(x, 512, pad_mode=pad_mode))
+    ref = np.asarray(
+        griffin_lim(spec, max_iter=8, tol=0.0, verbose=False, pad_mode=pad_mode)
+    )
+    out = np.asarray(griffin_lim_seq(spec, mesh, max_iter=8, pad_mode=pad_mode))
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_seq_parallel_dp_sp_combo():
+    mesh = make_mesh(data=2, seq=4)
+    spec = _spec(batch=4, n=44100)
+    ref = np.asarray(griffin_lim(spec, max_iter=10, tol=0.0, verbose=False))
+    out = np.asarray(
+        griffin_lim_seq(spec, mesh, max_iter=10, shard_batch_axis=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_seq_parallel_early_stop():
+    """tol-based stopping works across shards (psum'd loss)."""
+    mesh = make_mesh(data=1, seq=4)
+    x = make_signal((22050,))
+    spec = np.abs(torch_stft(x, 512))
+    ref = np.asarray(griffin_lim(spec, max_iter=60, tol=1.0, eva_iter=5, verbose=False))
+    out = np.asarray(
+        griffin_lim_seq(spec, mesh, max_iter=60, tol=1.0, eva_iter=5)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_seq_too_many_shards_raises():
+    mesh = make_mesh(data=1, seq=8)
+    x = make_signal((2000,))
+    spec = np.abs(torch_stft(x, 512))
+    with pytest.raises(ValueError):
+        griffin_lim_seq(spec, mesh, max_iter=2)
+
+
+def test_shard_batch_placement():
+    mesh = make_mesh(data=8, seq=1)
+    x = jnp.zeros((16, 100))
+    y = shard_batch(x, mesh)
+    assert y.sharding == batch_sharding(mesh, 2)
+    assert len(y.sharding.device_set) == 8
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
