@@ -85,25 +85,26 @@ def main():
     mag_tm = jnp.abs(stft_ops.stft(jnp.asarray(x), cfg, wj))
     mag = jnp.swapaxes(mag_tm, -1, -2)  # (F, T) public layout
 
-    def timed(backend):
-        y = si.griffin_lim(
-            mag, max_iter=ITERS, tol=0.0, verbose=False, window=window,
-            backend=backend,
-        )
-        np.asarray(y)  # warmup + compile
-        t0 = time.perf_counter()
-        y = si.griffin_lim(
-            mag, max_iter=ITERS, tol=0.0, verbose=False, window=window,
-            backend=backend,
-        )
-        jax.block_until_ready(y)
-        dt = time.perf_counter() - t0
-        return ITERS / dt, y
+    def timed(backend, iters=ITERS, reps=3):
+        def run():
+            return si.griffin_lim(
+                mag, max_iter=iters, tol=0.0, verbose=False, window=window,
+                backend=backend,
+            )
 
-    results = {}
-    for backend in ("fft", "matmul"):
+        jax.block_until_ready(run())  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = run()
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / reps
+        return iters / dt
+
+    results, sustained = {}, {}
+    for backend in ("fft", "matmul", "pallas"):
         try:
-            results[backend], y = timed(backend)
+            results[backend] = timed(backend)
+            sustained[backend] = timed(backend, iters=1000, reps=1)
         except Exception as e:  # pragma: no cover
             print(f"# backend {backend} failed: {e}", file=sys.stderr)
     backend = max(results, key=results.get)
@@ -127,6 +128,9 @@ def main():
                     "backend": backend,
                     "per_backend_iters_per_sec": {
                         k: round(v, 2) for k, v in results.items()
+                    },
+                    "sustained_1000iter_iters_per_sec": {
+                        k: round(v, 2) for k, v in sustained.items()
                     },
                     "final_sc_db": round(final_sc, 3),
                     "baseline": baseline,

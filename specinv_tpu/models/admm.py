@@ -24,7 +24,7 @@ from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
 from ..utils.runner import iterate
-from .common import prepare_spec, restore_output
+from .common import prepare_spec_b3, restore_output
 from .griffin_lim import magnitude_project
 from .phase_init import phase_init_tm
 
@@ -115,6 +115,44 @@ def run_tm(
     return state.x
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend"),
+)
+def _full_run(
+    spec_b3: jnp.ndarray,
+    window: jnp.ndarray,
+    rho: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    max_iter: int,
+    eva_iter: int,
+    metric: str,
+    verbose: bool,
+    mode: str,
+    backend: str,
+) -> jnp.ndarray:
+    spec_tm = jnp.swapaxes(spec_b3, -1, -2)
+    if jnp.iscomplexobj(spec_tm):
+        cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
+    else:
+        cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    return run_tm.__wrapped__(
+        target_tm,
+        cmplx_tm,
+        window,
+        rho,
+        tol,
+        cfg,
+        max_iter=max_iter,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode=mode,
+        backend=backend,
+    )
+
+
 def ADMM(
     spec,
     max_iter: int = 1000,
@@ -129,17 +167,13 @@ def ADMM(
 ):
     """Reference-parity entry point (methods.py:415-506)."""
     assert eva_iter > 0 and max_iter > 0 and tol >= 0
-    spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
-    if jnp.iscomplexobj(spec_tm):
-        cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
-    else:
-        cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
-    x = run_tm(
-        target_tm,
-        cmplx_tm,
+    spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
+    real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
+    x = _full_run(
+        spec_b3,
         window,
-        jnp.asarray(rho, dtype=target_tm.dtype),
-        jnp.asarray(tol, dtype=target_tm.dtype),
+        jnp.asarray(rho, dtype=real_dtype),
+        jnp.asarray(tol, dtype=real_dtype),
         cfg,
         max_iter=max_iter,
         eva_iter=eva_iter,

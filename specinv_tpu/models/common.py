@@ -28,11 +28,13 @@ def as_array(x: Any) -> jnp.ndarray:
     return x
 
 
-def prepare_spec(spec: Any, **stft_kwargs) -> Tuple[jnp.ndarray, bool, STFTConfig, jnp.ndarray]:
-    """Canonicalize a user spectrogram.
+def prepare_spec_b3(spec: Any, **stft_kwargs) -> Tuple[jnp.ndarray, bool, STFTConfig, jnp.ndarray]:
+    """Canonicalize a user spectrogram without changing its layout.
 
-    Returns ``(spec_tm, was_2d, cfg, window)`` where ``spec_tm`` is the
-    time-major batched ``(B, T, F)`` array (complex or magnitude, as given).
+    Returns ``(spec_b3, was_2d, cfg, window)`` where ``spec_b3`` is the
+    batched ``(B, F, T)`` array (complex or magnitude, as given).  No device
+    compute happens here beyond the batch-dim reshape — the layout transpose
+    and phase seeding live inside each algorithm's jitted full run.
     """
     spec = as_array(spec)
     if not 1 < spec.ndim < 4:
@@ -43,6 +45,16 @@ def prepare_spec(spec: Any, **stft_kwargs) -> Tuple[jnp.ndarray, bool, STFTConfi
     real_dtype = jnp.zeros((), dtype=spec.dtype).real.dtype
     cfg, window_np = canonicalize(spec.shape[-2], real_dtype, **stft_kwargs)
     window = jnp.asarray(window_np)
+    return spec, was_2d, cfg, window
+
+
+def prepare_spec(spec: Any, **stft_kwargs) -> Tuple[jnp.ndarray, bool, STFTConfig, jnp.ndarray]:
+    """Canonicalize a user spectrogram.
+
+    Returns ``(spec_tm, was_2d, cfg, window)`` where ``spec_tm`` is the
+    time-major batched ``(B, T, F)`` array (complex or magnitude, as given).
+    """
+    spec, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
     spec_tm = jnp.swapaxes(spec, -1, -2)  # (B, F, T) -> (B, T, F)
     return spec_tm, was_2d, cfg, window
 

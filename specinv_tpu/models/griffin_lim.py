@@ -30,7 +30,7 @@ from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
 from ..utils.runner import iterate
-from .common import prepare_spec, restore_output
+from .common import prepare_spec_b3, restore_output
 from .phase_init import phase_init_tm
 
 PROJ_EPS = 1e-16
@@ -123,6 +123,182 @@ def run_tm(
     return state.x
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret"),
+)
+def run_tm_pallas(
+    target_tm: jnp.ndarray,
+    init_spec_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    lr: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    max_iter: int = 200,
+    eva_iter: int = 10,
+    metric: str = "sc",
+    verbose: bool = False,
+    block_t: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Griffin-Lim driven by the fused Pallas iteration kernel.
+
+    Same numerics as :func:`run_tm`; the per-iteration XLA work shrinks to an
+    envelope divide and a center re-pad — framing, both DFTs, momentum,
+    projection, and overlap-add all happen inside one kernel with the
+    intermediates resident in VMEM (see ops/pallas/gl_fused.py).
+    Inference-only (no reverse-mode).
+    """
+    from ..ops.framing import ola_envelope, pad_center
+    from ..ops.pallas.gl_fused import fused_gl_iteration
+
+    B, T, F = target_tm.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    p_amt = cfg.pad_amount
+    f_pad = -(-F // 128) * 128
+    # Adaptive row block: cover the whole clip in one block when the two
+    # (block_t, n_fft) scratches fit the VMEM budget — then the DFT matrix
+    # blocks stream from HBM exactly once per iteration instead of once per
+    # row block (the kernel is otherwise HBM-bound on matrix traffic).
+    budget_rows = max(64, (8 * 1024 * 1024) // (2 * 4 * n_fft) // 64 * 64)
+    block_t = min(budget_rows, -(-T // 64) * 64)
+    t_pad = -(-T // block_t) * block_t
+    lx = (t_pad - 1) * hop + n_fft
+    lp = (T - 1) * hop + n_fft
+    l_out = lp - 2 * p_amt
+
+    win_sq = window * window
+    env = ola_envelope(win_sq, T, hop)  # (lp,) padded coords
+    env = jnp.pad(env, (0, lx - lp))
+    env_safe = jnp.where(env == 0, jnp.ones_like(env), env).astype(jnp.float32)
+    interior = jnp.zeros((lx,), dtype=bool).at[p_amt : p_amt + l_out].set(True)
+    # interior/env folded into one multiplier the kernel epilogue applies.
+    inv_env = jnp.where(interior, 1.0 / env_safe, 0.0).astype(jnp.float32)
+
+    target_pad = jnp.pad(
+        target_tm.astype(jnp.float32), ((0, 0), (0, t_pad - T), (0, f_pad - F))
+    )
+    pre0_re = jnp.pad(
+        init_spec_tm.real.astype(jnp.float32),
+        ((0, 0), (0, t_pad - T), (0, f_pad - F)),
+    )
+    pre0_im = jnp.pad(
+        init_spec_tm.imag.astype(jnp.float32),
+        ((0, 0), (0, t_pad - T), (0, f_pad - F)),
+    )
+
+    x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
+    x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, lx - lp)))
+
+    e = p_amt + l_out - 1  # last real sample, padded coords
+
+    def repad_edges(x_div):
+        """Re-apply the center padding in place (pad regions arrive zeroed)."""
+        if not p_amt:
+            return x_div
+        mode = cfg.jnp_pad_mode
+        if mode == "constant":
+            return x_div
+        if mode == "reflect":
+            left = x_div[..., 2 * p_amt : p_amt : -1]
+            right = x_div[..., e - p_amt : e][..., ::-1]
+        elif mode == "edge":
+            left = jnp.broadcast_to(
+                x_div[..., p_amt : p_amt + 1], (*x_div.shape[:-1], p_amt)
+            )
+            right = jnp.broadcast_to(
+                x_div[..., e : e + 1], (*x_div.shape[:-1], p_amt)
+            )
+        else:  # wrap / circular
+            left = x_div[..., e - p_amt + 1 : e + 1]
+            right = x_div[..., p_amt : 2 * p_amt]
+        return (
+            x_div.at[..., :p_amt].set(left)
+            .at[..., e + 1 : e + 1 + p_amt].set(right)
+        )
+
+    def step(state):
+        x_pad, pre_re, pre_im = state
+        x_div, mag, pre_re, pre_im = fused_gl_iteration(
+            x_pad, pre_re, pre_im, target_pad, window, inv_env, lr, cfg,
+            block_t=block_t, interpret=interpret,
+        )
+        return (repad_edges(x_div), pre_re, pre_im), mag[:, :T, :F]
+
+    state = iterate(
+        step,
+        (x_pad0, pre0_re, pre0_im),
+        target_tm.astype(jnp.float32),
+        max_iter=max_iter,
+        tol=tol,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode="fori",
+    )
+    x_pad = state[0]
+    x_div = jnp.where(interior, x_pad, jnp.zeros_like(x_pad))
+    return x_div[..., p_amt : p_amt + l_out]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
+        "interpret",
+    ),
+)
+def _full_run(
+    spec_b3: jnp.ndarray,  # (B, F, T), magnitude or complex
+    window: jnp.ndarray,
+    lr: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    max_iter: int,
+    eva_iter: int,
+    metric: str,
+    verbose: bool,
+    mode: str,
+    backend: str,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Whole pipeline (layout transpose + phase seed + loop) in one jit —
+    avoids per-call eager dispatch overhead on the wrapper path."""
+    spec_tm = jnp.swapaxes(spec_b3, -1, -2)
+    if jnp.iscomplexobj(spec_tm):
+        cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
+    else:
+        cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    if backend == "pallas":
+        return run_tm_pallas.__wrapped__(
+            target_tm,
+            cmplx_tm,
+            window,
+            lr.astype(jnp.float32),
+            tol.astype(jnp.float32),
+            cfg,
+            max_iter=max_iter,
+            eva_iter=eva_iter,
+            metric=metric,
+            verbose=verbose,
+            interpret=interpret,
+        )
+    return run_tm.__wrapped__(
+        target_tm,
+        cmplx_tm,
+        window,
+        lr,
+        tol,
+        cfg,
+        max_iter=max_iter,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode=mode,
+        backend=backend,
+    )
+
+
 def griffin_lim(
     spec,
     max_iter: int = 200,
@@ -142,21 +318,25 @@ def griffin_lim(
 
     Extra (TPU-specific) knobs over the reference: ``mode`` ('fori' keeps the
     loop differentiable, 'while' exits early on-device) and ``backend``
-    ('auto'/'fft'/'matmul' DFT lowering).
+    ('auto'/'fft'/'matmul'/'pallas' lowering — 'pallas' runs the fused
+    single-kernel iteration, inference-only).
     """
     assert alpha >= 0
-    spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
-    if jnp.iscomplexobj(spec_tm):
-        cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
-    else:
-        cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
-    lr = jnp.asarray(alpha / (1 + alpha), dtype=target_tm.dtype)
-    x = run_tm(
-        target_tm,
-        cmplx_tm,
+    spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
+    if backend == "pallas":
+        from ..ops.pallas import gl_fused
+
+        if not gl_fused.supports(cfg, window):
+            raise ValueError(
+                "pallas backend requires onesided, n_fft % 128 == 0, "
+                "hop % 128 == 0, real window; use backend='auto' instead"
+            )
+    real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
+    x = _full_run(
+        spec_b3,
         window,
-        lr,
-        jnp.asarray(tol, dtype=target_tm.dtype),
+        jnp.asarray(alpha / (1 + alpha), dtype=real_dtype),
+        jnp.asarray(tol, dtype=real_dtype),
         cfg,
         max_iter=max_iter,
         eva_iter=eva_iter,
@@ -164,5 +344,6 @@ def griffin_lim(
         verbose=verbose,
         mode=mode,
         backend=backend,
+        interpret=jax.default_backend() == "cpu",
     )
     return restore_output(x, was_2d)

@@ -58,60 +58,37 @@ def _asym_windows(window: jnp.ndarray, hop: int, num_keep: int, synth_coeff):
     return aw1 * synth_coeff, aw2 * synth_coeff
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "cfg",
-        "look_ahead",
-        "asymmetric_window",
-        "max_iter",
-        "verbose",
-        "backend",
-    ),
-)
-def run_tm(
-    target_tm: jnp.ndarray,
+def _frame_step(
+    state: RTISIState,
+    target_slice: jnp.ndarray,  # (B, la+1, F) magnitude frames in the window
     window: jnp.ndarray,
-    lr: jnp.ndarray,
+    lr,
     cfg: STFTConfig,
     look_ahead: int,
-    asymmetric_window: bool = False,
-    max_iter: int = 25,
-    verbose: bool = False,
-    backend: str = "auto",
-) -> jnp.ndarray:
-    """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L)."""
-    B, steps, F = target_tm.shape
-    n_fft, hop = cfg.n_fft, cfg.hop_length
-    la = look_ahead
-    num_keep = (n_fft - 1) // hop
+    asymmetric_window: bool,
+    max_iter: int,
+    backend: str,
+):
+    """One RTISI-LA output-frame step: ``max_iter`` look-ahead GL refinements,
+    then commit the oldest in-flight frame and slide the buffers.
 
+    Shared by the offline ``lax.scan`` driver and the real-time
+    :class:`RTISIStreamer`.  Mirrors the reference's inner loop + commit
+    (methods.py:364-404) exactly.
+    """
+    la = look_ahead
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    num_keep = (n_fft - 1) // hop
     synth_coeff = hop / jnp.sum(window * window)
     aw1, aw2 = _asym_windows(window, hop, num_keep, synth_coeff)
-
-    # Pad the target by `la` frames on both sides of the time axis (339).
-    target_pad = jnp.pad(target_tm, ((0, 0), (la, la), (0, 0)))
-
+    synth_window = window * synth_coeff
     fwd = partial(fourier.forward, cfg=cfg, backend=backend)
     inv = partial(fourier.inverse, cfg=cfg, backend=backend)
 
-    # First frame seeded with zero phase (352-358).
-    first = inv(target_pad[:, la : la + 1].astype(target_pad.dtype) + 0j)
-    update0 = jnp.concatenate(
-        [jnp.zeros((B, la, n_fft), first.dtype), first], axis=1
-    )
-    state0 = RTISIState(
-        keeped=jnp.zeros((B, num_keep, n_fft), first.dtype),
-        update=update0,
-        pre_spec=jnp.zeros(
-            (B, la + 1, F), dtype=jnp.result_type(first.dtype, jnp.complex64)
-        ),
-    )
+    keeped = state.keeped
 
-    synth_window = window * synth_coeff
-
-    def refine(j, carry, target_slice, update, keeped):
-        pre_spec = carry
+    def refine(j, carry):
+        pre_spec, update = carry
         # Windowed OLA of committed + in-flight frames, no normalization (365-368).
         all_frames = jnp.concatenate([keeped, update], axis=1) * synth_window
         x = overlap_add(all_frames, hop)
@@ -140,31 +117,79 @@ def run_tm(
         update = inv(proj)
         return pre_spec, update
 
+    pre_spec, update = jax.lax.fori_loop(
+        0, max_iter, refine, (state.pre_spec, state.update)
+    )
+
+    committed = update[:, 0]  # (B, n_fft) — committed this step (401)
+    if num_keep == 0:
+        keeped = state.keeped  # hop >= win_length: no inter-frame overlap
+    else:
+        keeped = jnp.concatenate([state.keeped[:, 1:], update[:, :1]], axis=1)
+    update = jnp.concatenate(
+        [update[:, 1:], jnp.zeros_like(update[:, :1])], axis=1
+    )
+    return RTISIState(keeped=keeped, update=update, pre_spec=pre_spec), committed
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "look_ahead",
+        "asymmetric_window",
+        "max_iter",
+        "verbose",
+        "backend",
+    ),
+)
+def run_tm(
+    target_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    lr: jnp.ndarray,
+    cfg: STFTConfig,
+    look_ahead: int,
+    asymmetric_window: bool = False,
+    max_iter: int = 25,
+    verbose: bool = False,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L)."""
+    B, steps, F = target_tm.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    la = look_ahead
+    num_keep = (n_fft - 1) // hop
+
+    # Pad the target by `la` frames on both sides of the time axis (339).
+    target_pad = jnp.pad(target_tm, ((0, 0), (la, la), (0, 0)))
+
+    inv = partial(fourier.inverse, cfg=cfg, backend=backend)
+
+    # First frame seeded with zero phase (352-358).
+    first = inv(target_pad[:, la : la + 1].astype(target_pad.dtype) + 0j)
+    update0 = jnp.concatenate(
+        [jnp.zeros((B, la, n_fft), first.dtype), first], axis=1
+    )
+    state0 = RTISIState(
+        keeped=jnp.zeros((B, num_keep, n_fft), first.dtype),
+        update=update0,
+        pre_spec=jnp.zeros(
+            (B, la + 1, F), dtype=jnp.result_type(first.dtype, jnp.complex64)
+        ),
+    )
+
     def outer(state: RTISIState, i):
         target_slice = jax.lax.dynamic_slice_in_dim(target_pad, i, la + 1, axis=1)
-
-        def body(j, carry):
-            pre_spec, update = carry
-            pre_spec, update = refine(j, pre_spec, target_slice, update, state.keeped)
-            return pre_spec, update
-
-        pre_spec, update = jax.lax.fori_loop(
-            0, max_iter, body, (state.pre_spec, state.update)
-        )
-
-        committed = update[:, 0]  # (B, n_fft) — committed this step (401)
-        if num_keep == 0:
-            keeped = state.keeped  # hop >= win_length: no inter-frame overlap
-        else:
-            keeped = jnp.concatenate([state.keeped[:, 1:], update[:, :1]], axis=1)
-        update = jnp.concatenate(
-            [update[:, 1:], jnp.zeros_like(update[:, :1])], axis=1
+        new_state, committed = _frame_step(
+            state, target_slice, window, lr, cfg,
+            look_ahead=la, asymmetric_window=asymmetric_window,
+            max_iter=max_iter, backend=backend,
         )
         if verbose:
             jax.debug.callback(
                 lambda i_: print(f"rtisi-la frame {int(i_) + 1}/{steps + la}"), i
             )
-        return RTISIState(keeped=keeped, update=update, pre_spec=pre_spec), committed
+        return new_state, committed
 
     _, frames_out = jax.lax.scan(
         outer, state0, jnp.arange(steps + la)
@@ -221,3 +246,144 @@ def RTISI_LA(
 
 
 rtisi_la = RTISI_LA
+
+
+_frame_step_jit = partial(
+    jax.jit,
+    static_argnames=("cfg", "look_ahead", "asymmetric_window", "max_iter", "backend"),
+)(_frame_step)
+
+
+class RTISIStreamer:
+    """Real-time frame-in / samples-out RTISI-LA.
+
+    The reference implements RTISI-LA only as an offline batch call even
+    though the algorithm is real-time by construction; this class exposes the
+    causal interface: feed magnitude frames one at a time, receive ``hop``
+    committed samples per frame once the ``look_ahead`` warmup has filled.
+
+    Latency is ``look_ahead + 1`` frames.  Samples are emitted through a
+    steady-state window^2 OLA envelope (the periodic interior envelope), so a
+    stream's first/last samples differ slightly from the offline call's
+    edge-normalized output — inherent to streaming.
+
+    Example::
+
+        st = RTISIStreamer(num_freqs=257, look_ahead=3, window=hann)
+        for frame in mag_frames:          # (F,) each
+            chunk = st.push(frame)        # (hop,) or None during warmup
+        tail = st.flush()
+    """
+
+    def __init__(
+        self,
+        num_freqs: int,
+        look_ahead: int = 3,
+        asymmetric_window: bool = False,
+        max_iter: int = 25,
+        alpha: float = 0.99,
+        batch: int = 1,
+        dtype=jnp.float32,
+        backend: str = "auto",
+        **stft_kwargs,
+    ):
+        from ..config import canonicalize
+        import numpy as np
+
+        self.cfg, window_np = canonicalize(num_freqs, np.dtype(dtype), **stft_kwargs)
+        self.window = jnp.asarray(window_np)
+        n_fft, hop = self.cfg.n_fft, self.cfg.hop_length
+        self.num_keep = (n_fft - 1) // hop
+        self.la = self.num_keep if look_ahead < 0 else look_ahead
+        self.asymmetric_window = asymmetric_window
+        self.max_iter = max_iter
+        self.lr = jnp.asarray(alpha / (1 + alpha), dtype=dtype)
+        self.batch = batch
+        self.backend = backend
+        self.F = num_freqs
+
+        cdtype = jnp.result_type(dtype, jnp.complex64)
+        self.state = RTISIState(
+            keeped=jnp.zeros((batch, self.num_keep, n_fft), dtype),
+            update=jnp.zeros((batch, self.la + 1, n_fft), dtype),
+            pre_spec=jnp.zeros((batch, self.la + 1, self.F), cdtype),
+        )
+        # Left look-ahead zero-padding, mirroring the offline target pad
+        # (methods.py:339) so the streamed state trajectory matches offline.
+        self._pending = [jnp.zeros((batch, self.F), dtype)] * self.la
+        self._warmup = self.la       # commits to discard (reference drops la)
+        self._started = False
+        self._ola_buf = jnp.zeros((batch, n_fft), dtype)
+        # Steady-state periodic envelope over one hop (sum of hop-shifted w^2),
+        # and the decaying suffix envelope used for the flush tail.
+        wsq = np.asarray(window_np) ** 2
+        k = -(-n_fft // hop)
+        suffix = np.zeros(n_fft)
+        for j in range(k):
+            suffix[: n_fft - j * hop] += wsq[j * hop :]
+        env = suffix[:hop].copy()
+        env[env == 0] = 1.0
+        suffix[suffix == 0] = 1.0
+        self._env = jnp.asarray(env, dtype=dtype)
+        self._suffix_env = jnp.asarray(suffix, dtype=dtype)
+
+    def push(self, frame_mag):
+        """Feed one magnitude frame ``(F,)`` / ``(B, F)``; returns ``(B, hop)``
+        committed samples, or ``None`` while the look-ahead window fills."""
+        frame_mag = jnp.asarray(frame_mag)
+        if frame_mag.ndim == 1:
+            frame_mag = frame_mag[None]
+        if not self._started:
+            # Seed the newest in-flight frame with zero phase (ref 352-358).
+            first = fourier.inverse(
+                frame_mag[:, None, :].astype(self.state.pre_spec.dtype),
+                self.cfg, backend=self.backend,
+            ).astype(self.state.update.dtype)
+            self.state = self.state._replace(
+                update=jnp.concatenate(
+                    [self.state.update[:, : self.la], first], axis=1
+                )
+            )
+            self._started = True
+        self._pending.append(frame_mag)
+        if len(self._pending) < self.la + 1:
+            return None
+        return self._step(jnp.stack(self._pending, axis=1))
+
+    def _step(self, target_slice):
+        self.state, committed = _frame_step_jit(
+            self.state, target_slice, self.window, self.lr, self.cfg,
+            look_ahead=self.la, asymmetric_window=self.asymmetric_window,
+            max_iter=self.max_iter, backend=self.backend,
+        )
+        self._pending.pop(0)
+        if self._warmup:
+            self._warmup -= 1
+            return None
+        return self._emit(committed)
+
+    def _emit(self, committed):
+        hop, n_fft = self.cfg.hop_length, self.cfg.n_fft
+        buf = self._ola_buf + committed * self.window
+        out = buf[:, :hop] / self._env
+        self._ola_buf = jnp.concatenate(
+            [buf[:, hop:], jnp.zeros((self.batch, hop), buf.dtype)], axis=1
+        )
+        return out
+
+    def flush(self):
+        """Drain the look-ahead pipeline; returns the remaining samples
+        ``(B, n_samples)``."""
+        chunks = []
+        while self._pending:
+            # Pad the target window with zero frames, like the reference's
+            # right-side look-ahead padding (methods.py:339).
+            padded = self._pending + [
+                jnp.zeros((self.batch, self.F), self._pending[0].dtype)
+            ] * (self.la + 1 - len(self._pending))
+            out = self._step(jnp.stack(padded, axis=1))
+            if out is not None:
+                chunks.append(out)
+        # Remaining OLA tail through the decaying suffix envelope.
+        chunks.append(self._ola_buf / self._suffix_env[None])
+        return jnp.concatenate(chunks, axis=1) if chunks else jnp.zeros((self.batch, 0))

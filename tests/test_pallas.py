@@ -1,0 +1,82 @@
+"""Fused Pallas Griffin-Lim kernel: interpret-mode parity with the XLA path.
+
+On CPU these run the kernel through the Pallas interpreter (exact semantics,
+no Mosaic); the TPU-compiled kernel is additionally checked elementwise
+against interpret mode in the benchmark/verification flow.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from specinv_tpu import griffin_lim, sc
+from specinv_tpu.config import canonicalize
+from specinv_tpu.ops.pallas import gl_fused
+
+from .helpers import make_signal, torch_stft
+
+
+def _mag(x, n_fft, hop, **kw):
+    return np.abs(torch_stft(x, n_fft, hop_length=hop, **kw)).astype(np.float32)
+
+
+@pytest.mark.parametrize("pad_mode", ["reflect", "constant", "replicate", "circular"])
+def test_parity_pad_modes(pad_mode):
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128, pad_mode=pad_mode)
+    kw = dict(hop_length=128, pad_mode=pad_mode, max_iter=6, tol=0.0, verbose=False)
+    a = np.asarray(griffin_lim(spec, backend="fft", **kw))
+    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+def test_parity_batched():
+    x = make_signal((3, 22050), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(hop_length=128, max_iter=5, tol=0.0, verbose=False)
+    a = np.asarray(griffin_lim(spec, backend="fft", **kw))
+    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+def test_parity_center_false():
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128, center=False)
+    kw = dict(hop_length=128, center=False, max_iter=5, tol=0.0, verbose=False)
+    a = np.asarray(griffin_lim(spec, backend="fft", **kw))
+    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+def test_parity_early_stop():
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(hop_length=128, max_iter=40, tol=1.0, eva_iter=5, verbose=False)
+    a = np.asarray(griffin_lim(spec, backend="fft", **kw))
+    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+def test_unsupported_config_raises():
+    x = make_signal((8000,), dtype=np.float32)
+    spec = _mag(x, 500, 100)  # n_fft not divisible by 128
+    with pytest.raises(ValueError):
+        griffin_lim(spec, backend="pallas", max_iter=2, verbose=False)
+
+
+def test_supports_predicate():
+    cfg, w = canonicalize(257, np.float32)  # n_fft 512, hop 128
+    assert gl_fused.supports(cfg, jnp.asarray(w))
+    cfg2, w2 = canonicalize(251, np.float32)  # n_fft 500
+    assert not gl_fused.supports(cfg2, jnp.asarray(w2))
+
+
+def test_quality_converges():
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    y = np.asarray(
+        griffin_lim(spec, backend="pallas", hop_length=128, max_iter=60, tol=0.0, verbose=False)
+    )
+    recon = _mag(y, 512, 128)
+    got = float(sc(jnp.asarray(recon), jnp.asarray(spec)))
+    assert got < -13, got

@@ -108,3 +108,47 @@ def test_rejects_complex():
     spec = torch_stft(x, 256)
     with pytest.raises(ValueError):
         RTISI_LA(spec, verbose=False)
+
+
+def test_streamer_matches_offline_interior():
+    """The real-time streamer must produce the same committed samples as the
+    offline call away from the stream edges (edge normalization differs by
+    design — steady-state vs full envelope)."""
+    from specinv_tpu.models.rtisi_la import RTISIStreamer
+
+    n_fft, hop, la = 256, 64, 3
+    x = make_signal((4410,), dtype=np.float64)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float64)  # (F, T)
+    offline = np.asarray(
+        RTISI_LA(mag, look_ahead=la, max_iter=4, verbose=False)
+    )
+
+    st = RTISIStreamer(
+        num_freqs=mag.shape[0], look_ahead=la, max_iter=4, dtype=jnp.float64
+    )
+    chunks = [st.push(mag[:, t]) for t in range(mag.shape[1])]
+    chunks = [c for c in chunks if c is not None]
+    tail = st.flush()
+    stream = np.asarray(jnp.concatenate(chunks + [tail], axis=1))[0]
+
+    p = n_fft // 2
+    n = min(len(offline), len(stream) - p)
+    a = offline[n_fft : n - n_fft]
+    b = stream[p + n_fft : p + n - n_fft]
+    np.testing.assert_allclose(a, b, atol=1e-8)
+
+
+def test_streamer_latency_and_shapes():
+    from specinv_tpu.models.rtisi_la import RTISIStreamer
+
+    st = RTISIStreamer(num_freqs=129, look_ahead=2, max_iter=2)
+    hop = st.cfg.hop_length
+    outs = []
+    for t in range(6):
+        out = st.push(np.abs(make_signal((129,), np.float32, seed=t)))
+        outs.append(out)
+    # first `look_ahead` pushes produce warmup commits (discarded) -> None
+    assert outs[0] is None and outs[1] is None
+    assert outs[2] is not None and outs[2].shape == (1, hop)
+    tail = st.flush()
+    assert tail.shape[0] == 1 and tail.shape[1] > 0
