@@ -1,0 +1,88 @@
+"""Shared geometry + glue for the fused Pallas iteration drivers.
+
+Both fused kernels (Griffin-Lim, ADMM) iterate a signal held in *padded
+coordinates*: the center padding lives inside the buffer, the kernel epilogue
+applies ``interior_mask / envelope``, and the only per-iteration XLA work is
+re-writing the two ``pad_amount``-sample edge regions according to the pad
+mode (the same thing ``torch.stft``'s centering does implicitly every
+analysis call).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import STFTConfig
+from ..ops.framing import ola_envelope
+
+
+class PaddedGeometry(NamedTuple):
+    f_pad: int
+    t_pad: int
+    block_t: int
+    lx: int
+    lp: int
+    l_out: int
+    p_amt: int
+    e: int  # last real sample index, padded coords
+
+
+def make_geometry(cfg: STFTConfig, T: int, F: int) -> PaddedGeometry:
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    p_amt = cfg.pad_amount
+    f_pad = -(-F // 128) * 128
+    # One row block per clip when the two (block_t, n_fft) scratches fit the
+    # VMEM budget — DFT matrix blocks then stream from HBM once per iteration.
+    budget_rows = max(64, (8 * 1024 * 1024) // (2 * 4 * n_fft) // 64 * 64)
+    block_t = min(budget_rows, -(-T // 64) * 64)
+    t_pad = -(-T // block_t) * block_t
+    lx = (t_pad - 1) * hop + n_fft
+    lp = (T - 1) * hop + n_fft
+    l_out = lp - 2 * p_amt
+    return PaddedGeometry(
+        f_pad=f_pad, t_pad=t_pad, block_t=block_t, lx=lx, lp=lp,
+        l_out=l_out, p_amt=p_amt, e=p_amt + l_out - 1,
+    )
+
+
+def make_inv_env(cfg: STFTConfig, window: jnp.ndarray, T: int, geo: PaddedGeometry):
+    """``interior_mask / window^2-envelope`` multiplier, length ``lx``."""
+    env = ola_envelope(window * window, T, cfg.hop_length)
+    env = jnp.pad(env, (0, geo.lx - geo.lp))
+    env_safe = jnp.where(env == 0, jnp.ones_like(env), env)
+    interior = jnp.zeros((geo.lx,), dtype=bool).at[
+        geo.p_amt : geo.p_amt + geo.l_out
+    ].set(True)
+    return jnp.where(interior, 1.0 / env_safe, 0.0).astype(jnp.float32)
+
+
+def repad_edges(x_div: jnp.ndarray, cfg: STFTConfig, geo: PaddedGeometry):
+    """Re-apply center padding in place (pad regions arrive zeroed)."""
+    p_amt, e = geo.p_amt, geo.e
+    if not p_amt:
+        return x_div
+    mode = cfg.jnp_pad_mode
+    if mode == "constant":
+        return x_div
+    if mode == "reflect":
+        left = x_div[..., 2 * p_amt : p_amt : -1]
+        right = x_div[..., e - p_amt : e][..., ::-1]
+    elif mode == "edge":
+        left = jnp.broadcast_to(
+            x_div[..., p_amt : p_amt + 1], (*x_div.shape[:-1], p_amt)
+        )
+        right = jnp.broadcast_to(x_div[..., e : e + 1], (*x_div.shape[:-1], p_amt))
+    else:  # wrap / circular
+        left = x_div[..., e - p_amt + 1 : e + 1]
+        right = x_div[..., p_amt : 2 * p_amt]
+    return (
+        x_div.at[..., :p_amt].set(left).at[..., e + 1 : e + 1 + p_amt].set(right)
+    )
+
+
+def pad_tf(a: jnp.ndarray, geo: PaddedGeometry, T: int, F: int) -> jnp.ndarray:
+    """Zero-pad a (B, T, F) plane to (B, t_pad, f_pad) float32."""
+    return jnp.pad(
+        a.astype(jnp.float32), ((0, 0), (0, geo.t_pad - T), (0, geo.f_pad - F))
+    )

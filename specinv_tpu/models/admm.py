@@ -74,7 +74,7 @@ def step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -89,6 +89,7 @@ def run_tm(
     verbose: bool = False,
     mode: str = "fori",
     backend: str = "auto",
+    early_stop: bool = True,
 ) -> jnp.ndarray:
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
     state = init(init_spec_tm, cfg, window, envelope=envelope, backend=backend)
@@ -111,13 +112,78 @@ def run_tm(
         metric=metric,
         verbose=verbose,
         mode=mode,
+        early_stop=early_stop,
     )
     return state.x
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "interpret", "early_stop"),
+)
+def run_tm_pallas(
+    target_tm: jnp.ndarray,
+    init_spec_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    rho: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    max_iter: int = 1000,
+    eva_iter: int = 10,
+    metric: str = "sc",
+    verbose: bool = False,
+    interpret: bool = False,
+    early_stop: bool = True,
+) -> jnp.ndarray:
+    """ADMM driven by the fused Pallas iteration kernel (inference-only);
+    same numerics as :func:`run_tm` — see ops/pallas/admm_fused.py."""
+    from ..ops.framing import pad_center
+    from ..ops.pallas.admm_fused import fused_admm_iteration
+    from ._pallas_driver import make_geometry, make_inv_env, pad_tf, repad_edges
+
+    B, T, F = target_tm.shape
+    geo = make_geometry(cfg, T, F)
+    inv_env = make_inv_env(cfg, window, T, geo)
+
+    target_pad = pad_tf(target_tm, geo, T, F)
+    x_re = pad_tf(init_spec_tm.real, geo, T, F)
+    x_im = pad_tf(init_spec_tm.imag, geo, T, F)
+    state0 = (
+        None,  # placeholder; x filled below
+        x_re, x_im,            # X
+        x_re, x_im,            # Y (= X.clone(), methods.py:455)
+        jnp.zeros_like(x_re), jnp.zeros_like(x_im),  # U
+    )
+    x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
+    x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
+    state0 = (x_pad0,) + state0[1:]
+
+    def step(state):
+        x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
+        x_div, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration(
+            x_pad, Xr, Xi, Yr, Yi, Ur, Ui, target_pad, window, inv_env, rho,
+            cfg, valid_t=T, block_t=geo.block_t, interpret=interpret,
+        )
+        return (repad_edges(x_div, cfg, geo), Xr, Xi, Yr, Yi, Ur, Ui), mag[:, :T, :F]
+
+    state = iterate(
+        step,
+        state0,
+        target_tm.astype(jnp.float32),
+        max_iter=max_iter,
+        tol=tol,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode="fori",
+        early_stop=early_stop,
+    )
+    return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop"),
 )
 def _full_run(
     spec_b3: jnp.ndarray,
@@ -131,12 +197,28 @@ def _full_run(
     verbose: bool,
     mode: str,
     backend: str,
+    early_stop: bool,
 ) -> jnp.ndarray:
     spec_tm = jnp.swapaxes(spec_b3, -1, -2)
     if jnp.iscomplexobj(spec_tm):
         cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
     else:
         cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    if backend == "pallas":
+        return run_tm_pallas.__wrapped__(
+            target_tm,
+            cmplx_tm,
+            window,
+            rho.astype(jnp.float32),
+            tol.astype(jnp.float32),
+            cfg,
+            max_iter=max_iter,
+            eva_iter=eva_iter,
+            metric=metric,
+            verbose=verbose,
+            interpret=jax.default_backend() == "cpu",
+            early_stop=early_stop,
+        )
     return run_tm.__wrapped__(
         target_tm,
         cmplx_tm,
@@ -150,6 +232,7 @@ def _full_run(
         verbose=verbose,
         mode=mode,
         backend=backend,
+        early_stop=early_stop,
     )
 
 
@@ -168,6 +251,14 @@ def ADMM(
     """Reference-parity entry point (methods.py:415-506)."""
     assert eva_iter > 0 and max_iter > 0 and tol >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
+    if backend == "pallas":
+        from ..ops.pallas import gl_fused
+
+        if not gl_fused.supports(cfg, window):
+            raise ValueError(
+                "pallas backend requires onesided, n_fft % 128 == 0, "
+                "hop % 128 == 0, real window; use backend='auto' instead"
+            )
     real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
     x = _full_run(
         spec_b3,
@@ -181,6 +272,7 @@ def ADMM(
         verbose=verbose,
         mode=mode,
         backend=backend,
+        early_stop=bool(tol > 0),
     )
     return restore_output(x, was_2d)
 

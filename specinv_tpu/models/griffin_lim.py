@@ -81,7 +81,7 @@ def step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -96,6 +96,7 @@ def run_tm(
     verbose: bool = False,
     mode: str = "fori",
     backend: str = "auto",
+    early_stop: bool = True,
 ) -> jnp.ndarray:
     """Jitted time-major Griffin-Lim: magnitude target (B, T, F) -> waveform (B, L)."""
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
@@ -119,13 +120,14 @@ def run_tm(
         metric=metric,
         verbose=verbose,
         mode=mode,
+        early_stop=early_stop,
     )
     return state.x
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop"),
 )
 def run_tm_pallas(
     target_tm: jnp.ndarray,
@@ -140,6 +142,7 @@ def run_tm_pallas(
     verbose: bool = False,
     block_t: int = 64,
     interpret: bool = False,
+    early_stop: bool = True,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the fused Pallas iteration kernel.
 
@@ -149,81 +152,28 @@ def run_tm_pallas(
     intermediates resident in VMEM (see ops/pallas/gl_fused.py).
     Inference-only (no reverse-mode).
     """
-    from ..ops.framing import ola_envelope, pad_center
+    from ..ops.framing import pad_center
     from ..ops.pallas.gl_fused import fused_gl_iteration
+    from ._pallas_driver import make_geometry, make_inv_env, pad_tf, repad_edges
 
     B, T, F = target_tm.shape
-    n_fft, hop = cfg.n_fft, cfg.hop_length
-    p_amt = cfg.pad_amount
-    f_pad = -(-F // 128) * 128
-    # Adaptive row block: cover the whole clip in one block when the two
-    # (block_t, n_fft) scratches fit the VMEM budget — then the DFT matrix
-    # blocks stream from HBM exactly once per iteration instead of once per
-    # row block (the kernel is otherwise HBM-bound on matrix traffic).
-    budget_rows = max(64, (8 * 1024 * 1024) // (2 * 4 * n_fft) // 64 * 64)
-    block_t = min(budget_rows, -(-T // 64) * 64)
-    t_pad = -(-T // block_t) * block_t
-    lx = (t_pad - 1) * hop + n_fft
-    lp = (T - 1) * hop + n_fft
-    l_out = lp - 2 * p_amt
+    geo = make_geometry(cfg, T, F)
+    inv_env = make_inv_env(cfg, window, T, geo)
 
-    win_sq = window * window
-    env = ola_envelope(win_sq, T, hop)  # (lp,) padded coords
-    env = jnp.pad(env, (0, lx - lp))
-    env_safe = jnp.where(env == 0, jnp.ones_like(env), env).astype(jnp.float32)
-    interior = jnp.zeros((lx,), dtype=bool).at[p_amt : p_amt + l_out].set(True)
-    # interior/env folded into one multiplier the kernel epilogue applies.
-    inv_env = jnp.where(interior, 1.0 / env_safe, 0.0).astype(jnp.float32)
-
-    target_pad = jnp.pad(
-        target_tm.astype(jnp.float32), ((0, 0), (0, t_pad - T), (0, f_pad - F))
-    )
-    pre0_re = jnp.pad(
-        init_spec_tm.real.astype(jnp.float32),
-        ((0, 0), (0, t_pad - T), (0, f_pad - F)),
-    )
-    pre0_im = jnp.pad(
-        init_spec_tm.imag.astype(jnp.float32),
-        ((0, 0), (0, t_pad - T), (0, f_pad - F)),
-    )
+    target_pad = pad_tf(target_tm, geo, T, F)
+    pre0_re = pad_tf(init_spec_tm.real, geo, T, F)
+    pre0_im = pad_tf(init_spec_tm.imag, geo, T, F)
 
     x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
-    x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, lx - lp)))
-
-    e = p_amt + l_out - 1  # last real sample, padded coords
-
-    def repad_edges(x_div):
-        """Re-apply the center padding in place (pad regions arrive zeroed)."""
-        if not p_amt:
-            return x_div
-        mode = cfg.jnp_pad_mode
-        if mode == "constant":
-            return x_div
-        if mode == "reflect":
-            left = x_div[..., 2 * p_amt : p_amt : -1]
-            right = x_div[..., e - p_amt : e][..., ::-1]
-        elif mode == "edge":
-            left = jnp.broadcast_to(
-                x_div[..., p_amt : p_amt + 1], (*x_div.shape[:-1], p_amt)
-            )
-            right = jnp.broadcast_to(
-                x_div[..., e : e + 1], (*x_div.shape[:-1], p_amt)
-            )
-        else:  # wrap / circular
-            left = x_div[..., e - p_amt + 1 : e + 1]
-            right = x_div[..., p_amt : 2 * p_amt]
-        return (
-            x_div.at[..., :p_amt].set(left)
-            .at[..., e + 1 : e + 1 + p_amt].set(right)
-        )
+    x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
 
     def step(state):
         x_pad, pre_re, pre_im = state
         x_div, mag, pre_re, pre_im = fused_gl_iteration(
             x_pad, pre_re, pre_im, target_pad, window, inv_env, lr, cfg,
-            block_t=block_t, interpret=interpret,
+            block_t=geo.block_t, interpret=interpret,
         )
-        return (repad_edges(x_div), pre_re, pre_im), mag[:, :T, :F]
+        return (repad_edges(x_div, cfg, geo), pre_re, pre_im), mag[:, :T, :F]
 
     state = iterate(
         step,
@@ -235,17 +185,17 @@ def run_tm_pallas(
         metric=metric,
         verbose=verbose,
         mode="fori",
+        early_stop=early_stop,
     )
     x_pad = state[0]
-    x_div = jnp.where(interior, x_pad, jnp.zeros_like(x_pad))
-    return x_div[..., p_amt : p_amt + l_out]
+    return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
-        "interpret",
+        "interpret", "early_stop",
     ),
 )
 def _full_run(
@@ -261,6 +211,7 @@ def _full_run(
     mode: str,
     backend: str,
     interpret: bool,
+    early_stop: bool,
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
@@ -282,6 +233,7 @@ def _full_run(
             metric=metric,
             verbose=verbose,
             interpret=interpret,
+            early_stop=early_stop,
         )
     return run_tm.__wrapped__(
         target_tm,
@@ -296,6 +248,7 @@ def _full_run(
         verbose=verbose,
         mode=mode,
         backend=backend,
+        early_stop=early_stop,
     )
 
 
@@ -345,5 +298,6 @@ def griffin_lim(
         mode=mode,
         backend=backend,
         interpret=jax.default_backend() == "cpu",
+        early_stop=bool(tol > 0),
     )
     return restore_output(x, was_2d)

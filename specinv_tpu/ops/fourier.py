@@ -29,6 +29,28 @@ from ..config import STFTConfig
 
 Precision = jax.lax.Precision
 
+# Library-wide default for the DFT matmuls.  HIGHEST (multi-pass bf16 = full
+# f32) is required for reference-parity convergence; lower it only after
+# checking quality on your config (see set_default_precision).
+_DEFAULT_PRECISION = Precision.HIGHEST
+
+
+def set_default_precision(p) -> None:
+    """Set the default matmul precision for the DFT backends.
+
+    ``p`` is a ``jax.lax.Precision`` or one of 'default' | 'high' | 'highest'.
+    Single-pass bf16 ('default') visibly stalls Griffin-Lim convergence;
+    'high' (bf16x3) is usually indistinguishable from 'highest' — measure.
+    """
+    global _DEFAULT_PRECISION
+    if isinstance(p, str):
+        p = {"default": Precision.DEFAULT, "high": Precision.HIGH, "highest": Precision.HIGHEST}[p.lower()]
+    _DEFAULT_PRECISION = p
+
+
+def default_precision():
+    return _DEFAULT_PRECISION
+
 
 def resolve_backend(backend: str, cfg: STFTConfig, dtype) -> str:
     if backend != "auto":
@@ -88,9 +110,11 @@ def forward(
     frames: jnp.ndarray,
     cfg: STFTConfig,
     backend: str = "auto",
-    precision=Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """DFT along the last axis of windowed frames -> complex (..., T, F)."""
+    if precision is None:
+        precision = _DEFAULT_PRECISION
     backend = resolve_backend(backend, cfg, frames.dtype)
     if jnp.iscomplexobj(frames):
         backend = "fft"  # complex-window path; rare, keep on FftOp
@@ -114,13 +138,15 @@ def inverse(
     spec: jnp.ndarray,
     cfg: STFTConfig,
     backend: str = "auto",
-    precision=Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """Real part of the inverse DFT -> real frames (..., T, n_fft).
 
     Matches the reference's ``irfft`` (onesided) / ``ifft().real`` (twosided)
     semantics at methods.py:141-146.
     """
+    if precision is None:
+        precision = _DEFAULT_PRECISION
     backend = resolve_backend(backend, cfg, spec.dtype)
     if backend == "fft":
         if cfg.onesided:

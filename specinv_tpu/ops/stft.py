@@ -35,7 +35,7 @@ def stft(
     cfg: STFTConfig,
     window: jnp.ndarray,
     backend: str = "auto",
-    precision=fourier.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """Analysis STFT of ``x`` (..., L) -> complex spectrogram (..., T, F)."""
     x = pad_center(x, cfg)
@@ -62,7 +62,7 @@ def istft(
     window: jnp.ndarray,
     envelope: Optional[jnp.ndarray] = None,
     backend: str = "auto",
-    precision=fourier.Precision.HIGHEST,
+    precision=None,
 ) -> jnp.ndarray:
     """Synthesis ISTFT of complex ``spec`` (..., T, F) -> signal (..., L_out).
 

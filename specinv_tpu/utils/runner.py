@@ -53,6 +53,7 @@ def iterate(
     verbose: bool = False,
     mode: str = "fori",
     loss_fn: Callable = None,
+    early_stop: bool = True,
 ):
     """Run ``state, output = step_fn(state)`` for up to ``max_iter`` iterations.
 
@@ -68,7 +69,13 @@ def iterate(
     if loss_fn is None:
         loss_fn = _mse
 
-    no_eval = isinstance(tol, (int, float)) and tol == 0 and not verbose
+    # tol == 0 can never trigger the reference's stop condition (it would need
+    # the loss to rise and fall simultaneously), so when the caller statically
+    # knows tol == 0 (early_stop=False) the whole evaluation machinery —
+    # per-iteration MSE reduction and done-mask state copies — is elided.
+    no_eval = not verbose and (
+        not early_stop or (isinstance(tol, (int, float)) and tol == 0)
+    )
     if no_eval:
         if mode == "while":
             # No stop condition: plain fori is strictly cheaper.

@@ -104,6 +104,19 @@ def test_golden_convergence_parity(use_hann):
     assert abs(ours_sc - ref_sc) < 1e-3, (ours_sc, ref_sc)
 
 
+def test_north_star_1000_iter_parity():
+    """BASELINE.json north star: SC within 1e-3 dB of the PyTorch reference
+    at 1000 iterations.  (Measured: ~4e-14 dB.)"""
+    n_fft = 512
+    x = make_signal((4410,))
+    mag = np.abs(torch_stft(x, n_fft))
+    ref_y = _reference_gl(mag, n_fft, 1000, tol=0.0)
+    ours_y = np.asarray(griffin_lim(mag, max_iter=1000, tol=0.0, verbose=False))
+    ref_sc = float(sc(jnp.asarray(np.abs(torch_stft(ref_y, n_fft))), jnp.asarray(mag)))
+    ours_sc = float(sc(jnp.asarray(np.abs(torch_stft(ours_y, n_fft))), jnp.asarray(mag)))
+    assert abs(ours_sc - ref_sc) < 1e-3, (ours_sc, ref_sc)
+
+
 def test_waveform_parity_exact():
     """Bitwise-tight trajectory parity in float64, few iterations."""
     n_fft = 256

@@ -71,6 +71,29 @@ def test_supports_predicate():
     assert not gl_fused.supports(cfg2, jnp.asarray(w2))
 
 
+@pytest.mark.parametrize("rho", [0.1, 1.0])
+def test_admm_parity(rho):
+    from specinv_tpu import ADMM
+
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(hop_length=128, max_iter=6, tol=0.0, rho=rho, verbose=False)
+    a = np.asarray(ADMM(spec, backend="fft", **kw))
+    b = np.asarray(ADMM(spec, backend="pallas", **kw))
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+def test_admm_batched_parity():
+    from specinv_tpu import ADMM
+
+    x = make_signal((2, 22050), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(hop_length=128, max_iter=4, tol=0.0, verbose=False)
+    a = np.asarray(ADMM(spec, backend="fft", **kw))
+    b = np.asarray(ADMM(spec, backend="pallas", **kw))
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
 def test_quality_converges():
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)

@@ -1,0 +1,66 @@
+"""Checkpoint round-trip, profiling timer, and driver edge cases."""
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from specinv_tpu.utils.checkpoint import load_state, save_state
+from specinv_tpu.utils.profiling import Throughput
+from specinv_tpu.utils.runner import iterate
+
+
+def test_checkpoint_roundtrip_namedtuple():
+    from specinv_tpu.models.griffin_lim import GLState
+
+    state = GLState(
+        x=jnp.arange(10.0), pre_spec=jnp.ones((2, 3), jnp.complex64) * (1 + 2j)
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.npz")
+        save_state(p, state)
+        like = GLState(x=jnp.zeros(10), pre_spec=jnp.zeros((2, 3), jnp.complex64))
+        restored = load_state(p, like)
+    np.testing.assert_array_equal(np.asarray(restored.x), np.asarray(state.x))
+    np.testing.assert_array_equal(
+        np.asarray(restored.pre_spec), np.asarray(state.pre_spec)
+    )
+
+
+def test_checkpoint_structure_mismatch():
+    state = {"a": jnp.zeros(3)}
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ck.npz")
+        save_state(p, state)
+        with pytest.raises(ValueError):
+            load_state(p, {"a": jnp.zeros(3), "b": jnp.zeros(2)})
+
+
+def test_throughput_timer():
+    tp = Throughput()
+    out = tp.measure(lambda: jnp.ones(4) * 2, iters=100)
+    assert tp.iters_per_sec > 0 and tp.seconds > 0
+    np.testing.assert_array_equal(np.asarray(out), 2 * np.ones(4))
+
+
+def test_iterate_validates_metric():
+    with pytest.raises(ValueError):
+        iterate(lambda s: (s, s), jnp.zeros(3), jnp.zeros(3), 5, 0.0, metric="bad")
+
+
+def test_iterate_while_equals_fori():
+    target = jnp.zeros(8)
+
+    def step(s):
+        s = s * 0.5
+        return s, s
+
+    a = iterate(step, jnp.ones(8), target, 20, 1e-9, eva_iter=2, mode="fori")
+    b = iterate(step, jnp.ones(8), target, 20, 1e-9, eva_iter=2, mode="while")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_iterate_rejects_bad_mode():
+    with pytest.raises(ValueError):
+        iterate(lambda s: (s, s), jnp.zeros(3), jnp.zeros(3), 5, 0.1, mode="nope")
