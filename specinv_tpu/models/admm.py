@@ -139,7 +139,7 @@ def run_tm_pallas(
     same numerics as :func:`run_tm` — see ops/pallas/admm_fused.py."""
     from ..ops.framing import pad_center
     from ..ops.pallas.admm_fused import fused_admm_iteration
-    from ._pallas_driver import make_geometry, make_inv_env, pad_tf, repad_edges
+    from ._pallas_driver import make_geometry, make_inv_env, pad_tf
 
     B, T, F = target_tm.shape
     geo = make_geometry(cfg, T, F)
@@ -160,11 +160,11 @@ def run_tm_pallas(
 
     def step(state):
         x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
-        x_div, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration(
+        x_pad, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration(
             x_pad, Xr, Xi, Yr, Yi, Ur, Ui, target_pad, window, inv_env, rho,
-            cfg, valid_t=T, block_t=geo.block_t, interpret=interpret,
+            cfg, valid_t=T, e=geo.e, block_t=geo.block_t, interpret=interpret,
         )
-        return (repad_edges(x_div, cfg, geo), Xr, Xi, Yr, Yi, Ur, Ui), mag[:, :T, :F]
+        return (x_pad, Xr, Xi, Yr, Yi, Ur, Ui), mag[:, :T, :F]
 
     state = iterate(
         step,

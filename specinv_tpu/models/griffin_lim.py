@@ -127,7 +127,7 @@ def run_tm(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision"),
 )
 def run_tm_pallas(
     target_tm: jnp.ndarray,
@@ -143,6 +143,7 @@ def run_tm_pallas(
     block_t: int = 64,
     interpret: bool = False,
     early_stop: bool = True,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the fused Pallas iteration kernel.
 
@@ -154,7 +155,7 @@ def run_tm_pallas(
     """
     from ..ops.framing import pad_center
     from ..ops.pallas.gl_fused import fused_gl_iteration
-    from ._pallas_driver import make_geometry, make_inv_env, pad_tf, repad_edges
+    from ._pallas_driver import make_geometry, make_inv_env, pad_tf
 
     B, T, F = target_tm.shape
     geo = make_geometry(cfg, T, F)
@@ -169,11 +170,12 @@ def run_tm_pallas(
 
     def step(state):
         x_pad, pre_re, pre_im = state
-        x_div, mag, pre_re, pre_im = fused_gl_iteration(
+        x_pad, mag, pre_re, pre_im = fused_gl_iteration(
             x_pad, pre_re, pre_im, target_pad, window, inv_env, lr, cfg,
-            block_t=geo.block_t, interpret=interpret,
+            e=geo.e, block_t=geo.block_t, interpret=interpret,
+            precision=precision,
         )
-        return (repad_edges(x_div, cfg, geo), pre_re, pre_im), mag[:, :T, :F]
+        return (x_pad, pre_re, pre_im), mag[:, :T, :F]
 
     state = iterate(
         step,

@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import STFTConfig
-from .gl_fused import LANE, PROJ_EPS, _dft_tables
+from .gl_fused import LANE, PROJ_EPS, _anti_identity, _dft_tables, _repad_in_kernel
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -38,6 +38,7 @@ def _kernel(
     w_ref,                  # (1, LANE)
     win_ref,                # (1, n_fft)
     inv_env_ref,            # (1, 1, Lx)
+    jrev_ref,               # (P, P) anti-identity or dummy
     x_out_ref,              # (1, 1, Lx)
     mag_ref,                # (1, BT, LANE)
     nx_re_ref, nx_im_ref,
@@ -50,6 +51,9 @@ def _kernel(
     n_fft: int,
     hop: int,
     valid_t: int,
+    pad_mode: str,
+    p_amt: int,
+    e: int,
 ):
     t = pl.program_id(1)
     f = pl.program_id(2)
@@ -136,6 +140,7 @@ def _kernel(
     @pl.when(jnp.logical_and(t == n_t - 1, f == n_f - 1))
     def _normalize():
         x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
+        _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
 
 
 def fused_admm_iteration(
@@ -147,6 +152,7 @@ def fused_admm_iteration(
     rho: jnp.ndarray,
     cfg: STFTConfig,
     valid_t: int,
+    e: int,
     block_t: int = 64,
     interpret: bool = False,
 ):
@@ -161,6 +167,14 @@ def fused_admm_iteration(
     assert lx == (t_pad - 1) * hop + n_fft
 
     cos, sin, w = _dft_tables(n_fft, f_pad, cfg.normalized)
+    p_amt = cfg.pad_amount
+    pad_mode = cfg.jnp_pad_mode
+    if p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)
+    else:
+        import numpy as _np
+
+        jrev = _np.zeros((8, LANE), _np.float32)
     grid = (B, t_pad // block_t, f_pad // LANE)
     blk = pl.BlockSpec((1, block_t, LANE), lambda b, t, f: (b, t, f))
     sig = pl.BlockSpec((1, 1, lx), lambda b, t, f: (b, 0, 0))
@@ -168,7 +182,8 @@ def fused_admm_iteration(
     mat = pl.BlockSpec((n_fft, LANE), lambda b, t, f: (0, f))
 
     kernel = functools.partial(
-        _kernel, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t
+        _kernel, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t,
+        pad_mode=pad_mode, p_amt=p_amt, e=e,
     )
     out = pl.pallas_call(
         kernel,
@@ -182,6 +197,7 @@ def fused_admm_iteration(
             pl.BlockSpec((1, LANE), lambda b, t, f: (0, f)),      # w
             pl.BlockSpec((1, n_fft), lambda b, t, f: (0, 0)),     # window
             const_sig,                                            # inv_env
+            pl.BlockSpec(jrev.shape, lambda b, t, f: (0, 0)),     # jrev
         ],
         out_specs=[sig, blk, blk, blk, blk, blk, blk, blk],
         out_shape=[
@@ -213,6 +229,7 @@ def fused_admm_iteration(
         jnp.asarray(w),
         jnp.asarray(window, jnp.float32).reshape(1, n_fft),
         jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
+        jnp.asarray(jrev),
     )
     x_raw = out[0].reshape(B, lx)
     return (x_raw,) + tuple(out[1:])

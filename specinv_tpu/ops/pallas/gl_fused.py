@@ -54,6 +54,49 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.lru_cache(maxsize=8)
+def _anti_identity(p: int):
+    """Anti-diagonal permutation matrix: ``v @ J == reversed(v)``.
+
+    Mosaic has no lowering for ``lax.rev``, so in-kernel reflection padding
+    reverses its source slab with one tiny MXU matmul instead.
+    """
+    j = np.zeros((p, p), np.float32)
+    j[np.arange(p), p - 1 - np.arange(p)] = 1.0
+    return j
+
+
+def _repad_in_kernel(x_out_ref, jrev_ref, pad_mode: str, p_amt: int, e: int):
+    """Rewrite the center-pad regions of the normalized signal in VMEM.
+
+    ``x_out_ref`` is (1, 1, Lx); pad regions arrive zeroed (inv_env mask).
+    Mirrors models/_pallas_driver.repad_edges.
+    """
+    if not p_amt or pad_mode == "constant":
+        return
+    if pad_mode == "reflect":
+        left_src = x_out_ref[0, :, p_amt + 1 : 2 * p_amt + 1]   # (1, P)
+        right_src = x_out_ref[0, :, e - p_amt : e]
+        jm = jrev_ref[...]
+        # HIGHEST: a permutation matmul must not round the values to bf16.
+        left = jnp.dot(
+            left_src, jm, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        right = jnp.dot(
+            right_src, jm, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    elif pad_mode == "edge":
+        left = jnp.broadcast_to(x_out_ref[0, :, p_amt : p_amt + 1], (1, p_amt))
+        right = jnp.broadcast_to(x_out_ref[0, :, e : e + 1], (1, p_amt))
+    else:  # wrap / circular
+        left = x_out_ref[0, :, e - p_amt + 1 : e + 1]
+        right = x_out_ref[0, :, p_amt : 2 * p_amt]
+    x_out_ref[0, :, 0:p_amt] = left
+    x_out_ref[0, :, e + 1 : e + 1 + p_amt] = right
+
+
 @functools.lru_cache(maxsize=16)
 def _dft_tables(n_fft: int, f_pad: int, normalized: bool):
     """cos/sin matrices (n_fft, f_pad) and Hermitian inverse weights (1, f_pad).
@@ -91,6 +134,7 @@ def _kernel(
     w_ref,         # (1, LANE) hermitian fold weights
     win_ref,       # (1, n_fft)
     inv_env_ref,   # (1, 1, Lx) interior_mask / envelope (zero outside interior)
+    jrev_ref,      # (P, P) anti-identity (reflect repad) or (8, 128) dummy
     x_out_ref,     # (1, 1, Lx)
     mag_ref,       # (1, BT, LANE) pre-momentum magnitude out
     npre_re_ref,   # (1, BT, LANE)
@@ -101,6 +145,10 @@ def _kernel(
     block_t: int,
     n_fft: int,
     hop: int,
+    pad_mode: str,
+    p_amt: int,
+    e: int,
+    precision,
 ):
     t = pl.program_id(1)
     f = pl.program_id(2)
@@ -127,11 +175,11 @@ def _kernel(
     # bf16 visibly stalls Griffin-Lim convergence (-17 dB vs -28 dB @ 100 it).
     s_re = jnp.dot(
         frames, cos_ref[...],
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     s_im = -jnp.dot(
         frames, sin_ref[...],
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )
 
     mag_ref[0] = jnp.sqrt(s_re * s_re + s_im * s_im)  # pre-momentum |S|
@@ -152,10 +200,10 @@ def _kernel(
     contract = (((1,), (1,)), ((), ()))
     acc_s[...] += jax.lax.dot_general(
         p_re, cos_ref[...], contract,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     ) - jax.lax.dot_general(
         p_im, sin_ref[...], contract,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )
 
     @pl.when(f == n_f - 1)
@@ -174,6 +222,7 @@ def _kernel(
     @pl.when(jnp.logical_and(t == n_t - 1, f == n_f - 1))
     def _normalize():
         x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
+        _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
 
 
 def supports(cfg: STFTConfig, window) -> bool:
@@ -194,15 +243,17 @@ def fused_gl_iteration(
     inv_env: jnp.ndarray,    # (Lx,) interior_mask / envelope
     lr: jnp.ndarray,         # scalar
     cfg: STFTConfig,
+    e: int,                  # last real sample index, padded coords
     block_t: int = 64,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """One fused Griffin-Lim iteration.
 
-    Returns ``(x_div, mag, new_pre_re, new_pre_im)`` where ``x_div`` is the
-    envelope-normalized signal in padded coordinates with the center-pad
-    regions zeroed (caller re-applies the edge padding) and ``mag`` is the
-    pre-momentum magnitude.
+    Returns ``(x_pad, mag, new_pre_re, new_pre_im)`` where ``x_pad`` is the
+    envelope-normalized signal in padded coordinates with the center padding
+    already re-applied in-kernel (reflection via an anti-identity MXU matmul —
+    Mosaic has no lax.rev) and ``mag`` is the pre-momentum magnitude.
     """
     B, t_pad, f_pad = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -213,8 +264,19 @@ def fused_gl_iteration(
     cos, sin, w = _dft_tables(n_fft, f_pad, cfg.normalized)
     n_t = t_pad // block_t
     n_f = f_pad // LANE
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST  # Mosaic supports DEFAULT/HIGHEST only
+    p_amt = cfg.pad_amount
+    pad_mode = cfg.jnp_pad_mode
+    if p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)
+    else:
+        jrev = np.zeros((8, LANE), np.float32)  # unused dummy
 
-    kernel = functools.partial(_kernel, block_t=block_t, n_fft=n_fft, hop=hop)
+    kernel = functools.partial(
+        _kernel, block_t=block_t, n_fft=n_fft, hop=hop,
+        pad_mode=pad_mode, p_amt=p_amt, e=e, precision=precision,
+    )
     grid = (B, n_t, n_f)
 
     flops = 4 * B * t_pad * n_fft * f_pad * 2
@@ -232,6 +294,7 @@ def fused_gl_iteration(
             pl.BlockSpec((1, LANE), lambda b, t, f: (0, f)),            # w
             pl.BlockSpec((1, n_fft), lambda b, t, f: (0, 0)),           # window
             pl.BlockSpec((1, 1, lx), lambda b, t, f: (0, 0, 0)),        # inv_env
+            pl.BlockSpec(jrev.shape, lambda b, t, f: (0, 0)),           # jrev
         ],
         out_specs=[
             pl.BlockSpec((1, 1, lx), lambda b, t, f: (b, 0, 0)),        # x_out
@@ -269,6 +332,7 @@ def fused_gl_iteration(
         jnp.asarray(w),
         jnp.asarray(window, jnp.float32).reshape(1, n_fft),
         jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
+        jnp.asarray(jrev),
     )
     x_raw, mag, npre_re, npre_im = out
     return x_raw.reshape(B, lx), mag, npre_re, npre_im
