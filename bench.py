@@ -176,14 +176,16 @@ def main():
 
     results, marginal = {}, {}
     for backend in ("fft", "matmul", "pallas"):
-        try:
-            t100 = timed(backend, ITERS)
-            t400 = timed(backend, 4 * ITERS)
-            results[backend] = ITERS / t100
-            # marginal per-iteration rate, net of the fixed per-call overhead
-            marginal[backend] = (4 * ITERS - ITERS) / max(t400 - t100, 1e-9)
-        except Exception as e:  # pragma: no cover
-            print(f"# backend {backend} failed: {e}", file=sys.stderr)
+        for attempt in range(2):  # axon RPC occasionally drops a compile
+            try:
+                t100 = min(timed(backend, ITERS) for _ in range(2))
+                t400 = min(timed(backend, 4 * ITERS) for _ in range(2))
+                results[backend] = ITERS / t100
+                # marginal per-iteration rate, net of fixed per-call overhead
+                marginal[backend] = (4 * ITERS - ITERS) / max(t400 - t100, 1e-9)
+                break
+            except Exception as e:  # pragma: no cover
+                print(f"# backend {backend} failed (try {attempt}): {e}", file=sys.stderr)
     backend = max(results, key=results.get)
     ips = results[backend]
 

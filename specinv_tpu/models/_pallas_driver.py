@@ -86,3 +86,89 @@ def pad_tf(a: jnp.ndarray, geo: PaddedGeometry, T: int, F: int) -> jnp.ndarray:
     return jnp.pad(
         a.astype(jnp.float32), ((0, 0), (0, geo.t_pad - T), (0, geo.f_pad - F))
     )
+
+
+def gl_xla_twin(
+    state, target_pad, window, inv_env, lr, cfg: STFTConfig, geo: PaddedGeometry
+):
+    """XLA re-statement of the fused GL kernel's math, same padded-coords IO.
+
+    Used as the backward rule for the Pallas forward (custom_vjp): reverse-
+    differentiating this twin yields correct gradients for the kernel without
+    a hand-written backward kernel.  Matches the kernel op-for-op (same
+    f_pad-zeroed DFT tables, Hermitian fold weights, envelope multiplier,
+    edge re-pad).
+    """
+    import jax
+
+    from ..ops.framing import frame, overlap_add
+    from ..ops.pallas.gl_fused import PROJ_EPS, _dft_tables
+
+    x_pad, pre_re, pre_im = state
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    cos, sin, w = _dft_tables(n_fft, geo.f_pad, cfg.normalized)
+    hi = jax.lax.Precision.HIGHEST
+
+    frames = frame(x_pad, n_fft, hop) * window            # (B, t_pad, n_fft)
+    s_re = jnp.matmul(frames, cos, precision=hi)
+    s_im = -jnp.matmul(frames, sin, precision=hi)
+    # +tiny inside the sqrt: the zero-padded planes are exactly 0 and
+    # sqrt'(0)=inf would NaN the whole backward (only gradients flow through
+    # this twin; the forward comes from the kernel).
+    mag = jnp.sqrt(s_re * s_re + s_im * s_im + 1e-30)
+    s_re = s_re - lr * pre_re
+    s_im = s_im - lr * pre_im
+    norm = jnp.sqrt(s_re * s_re + s_im * s_im + 1e-30) + PROJ_EPS
+    gain = target_pad / norm * w
+    contract = (((2,), (1,)), ((), ()))
+    fr = jax.lax.dot_general(
+        s_re * gain, cos, contract, precision=hi
+    ) - jax.lax.dot_general(s_im * gain, sin, contract, precision=hi)
+    y = overlap_add(fr * window, hop) * inv_env
+    y = repad_edges(y, cfg, geo)
+    return (y, s_re, s_im), mag
+
+
+def admm_xla_twin(
+    state, target_pad, window, inv_env, rho, cfg: STFTConfig, geo: PaddedGeometry,
+    valid_t: int,
+):
+    """XLA twin of the fused ADMM kernel (see gl_xla_twin)."""
+    import jax
+
+    from ..ops.framing import frame, overlap_add
+    from ..ops.pallas.gl_fused import PROJ_EPS, _dft_tables
+
+    x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    cos, sin, w = _dft_tables(n_fft, geo.f_pad, cfg.normalized)
+    hi = jax.lax.Precision.HIGHEST
+
+    frames = frame(x_pad, n_fft, hop) * window
+    r_re = jnp.matmul(frames, cos, precision=hi)
+    r_im = -jnp.matmul(frames, sin, precision=hi)
+    mag = jnp.sqrt(r_re * r_re + r_im * r_im + 1e-30)
+    inv1p = 1.0 / (1.0 + rho)
+    z_re = (rho * Yr + r_re) * inv1p
+    z_im = (rho * Yi + r_im) * inv1p
+    u_re = Ur + Xr - z_re
+    u_im = Ui + Xi - z_im
+    t_re = z_re - u_re
+    t_im = z_im - u_im
+    norm = jnp.sqrt(t_re * t_re + t_im * t_im + 1e-30) + PROJ_EPS
+    gain = target_pad / norm
+    xn_re = t_re * gain
+    xn_im = t_im * gain
+    yn_re = xn_re + u_re
+    yn_im = xn_im + u_im
+    valid = (jnp.arange(geo.t_pad) < valid_t)[None, :, None]
+    xn_re, xn_im = jnp.where(valid, xn_re, 0.0), jnp.where(valid, xn_im, 0.0)
+    yn_re, yn_im = jnp.where(valid, yn_re, 0.0), jnp.where(valid, yn_im, 0.0)
+    u_re, u_im = jnp.where(valid, u_re, 0.0), jnp.where(valid, u_im, 0.0)
+    contract = (((2,), (1,)), ((), ()))
+    fr = jax.lax.dot_general(
+        yn_re * w, cos, contract, precision=hi
+    ) - jax.lax.dot_general(yn_im * w, sin, contract, precision=hi)
+    y = overlap_add(fr * window, hop) * inv_env
+    y = repad_edges(y, cfg, geo)
+    return (y, xn_re, xn_im, yn_re, yn_im, u_re, u_im), mag

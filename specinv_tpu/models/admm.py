@@ -135,8 +135,9 @@ def run_tm_pallas(
     interpret: bool = False,
     early_stop: bool = True,
 ) -> jnp.ndarray:
-    """ADMM driven by the fused Pallas iteration kernel (inference-only);
-    same numerics as :func:`run_tm` — see ops/pallas/admm_fused.py."""
+    """ADMM driven by the fused Pallas iteration kernel; same numerics as
+    :func:`run_tm` — see ops/pallas/admm_fused.py.  Differentiable via the
+    XLA-twin custom_vjp (see griffin_lim.run_tm_pallas)."""
     from ..ops.framing import pad_center
     from ..ops.pallas.admm_fused import fused_admm_iteration
     from ._pallas_driver import make_geometry, make_inv_env, pad_tf
@@ -158,13 +159,35 @@ def run_tm_pallas(
     x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
     state0 = (x_pad0,) + state0[1:]
 
-    def step(state):
+    from ._pallas_driver import admm_xla_twin
+
+    @jax.custom_vjp
+    def one_iter(state, tgt, win, env, rho_):
         x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
         x_pad, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration(
-            x_pad, Xr, Xi, Yr, Yi, Ur, Ui, target_pad, window, inv_env, rho,
+            x_pad, Xr, Xi, Yr, Yi, Ur, Ui, tgt, win, env, rho_,
             cfg, valid_t=T, e=geo.e, block_t=geo.block_t, interpret=interpret,
         )
-        return (x_pad, Xr, Xi, Yr, Yi, Ur, Ui), mag[:, :T, :F]
+        return (x_pad, Xr, Xi, Yr, Yi, Ur, Ui), mag
+
+    def one_iter_fwd(state, tgt, win, env, rho_):
+        return one_iter(state, tgt, win, env, rho_), (state, tgt, win, env, rho_)
+
+    def one_iter_bwd(residuals, cotangents):
+        state, tgt, win, env, rho_ = residuals
+        _, vjp = jax.vjp(
+            lambda s, t, w_, e_, r_: admm_xla_twin(s, t, w_, e_, r_, cfg, geo, T),
+            state, tgt, win, env, rho_,
+        )
+        return vjp(cotangents)
+
+    one_iter.defvjp(one_iter_fwd, one_iter_bwd)
+
+    def step(state):
+        state, mag = one_iter(
+            state, target_pad, window.astype(jnp.float32), inv_env, rho
+        )
+        return state, mag[:, :T, :F]
 
     state = iterate(
         step,

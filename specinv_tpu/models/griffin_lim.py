@@ -147,15 +147,15 @@ def run_tm_pallas(
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the fused Pallas iteration kernel.
 
-    Same numerics as :func:`run_tm`; the per-iteration XLA work shrinks to an
-    envelope divide and a center re-pad — framing, both DFTs, momentum,
-    projection, and overlap-add all happen inside one kernel with the
-    intermediates resident in VMEM (see ops/pallas/gl_fused.py).
-    Inference-only (no reverse-mode).
+    Same numerics as :func:`run_tm`; the whole iteration — framing, both
+    DFTs, momentum, projection, overlap-add, envelope normalization, and the
+    center re-pad — happens inside one kernel with the intermediates resident
+    in VMEM (see ops/pallas/gl_fused.py).  Reverse-mode works: a custom_vjp
+    differentiates the mathematically-identical XLA twin of the kernel.
     """
     from ..ops.framing import pad_center
     from ..ops.pallas.gl_fused import fused_gl_iteration
-    from ._pallas_driver import make_geometry, make_inv_env, pad_tf
+    from ._pallas_driver import gl_xla_twin, make_geometry, make_inv_env, pad_tf
 
     B, T, F = target_tm.shape
     geo = make_geometry(cfg, T, F)
@@ -168,14 +168,36 @@ def run_tm_pallas(
     x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
     x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
 
-    def step(state):
+    # The Pallas kernel carries the forward; reverse-mode differentiates the
+    # mathematically-identical XLA twin, so backend='pallas' stays usable
+    # inside training objectives (grads match the default path's math).
+    @jax.custom_vjp
+    def one_iter(state, tgt, win, env, lr_):
         x_pad, pre_re, pre_im = state
         x_pad, mag, pre_re, pre_im = fused_gl_iteration(
-            x_pad, pre_re, pre_im, target_pad, window, inv_env, lr, cfg,
+            x_pad, pre_re, pre_im, tgt, win, env, lr_, cfg,
             e=geo.e, block_t=geo.block_t, interpret=interpret,
             precision=precision,
         )
-        return (x_pad, pre_re, pre_im), mag[:, :T, :F]
+        return (x_pad, pre_re, pre_im), mag
+
+    def one_iter_fwd(state, tgt, win, env, lr_):
+        out = one_iter(state, tgt, win, env, lr_)
+        return out, (state, tgt, win, env, lr_)
+
+    def one_iter_bwd(residuals, cotangents):
+        state, tgt, win, env, lr_ = residuals
+        _, vjp = jax.vjp(
+            lambda s, t, w_, e_, l_: gl_xla_twin(s, t, w_, e_, l_, cfg, geo),
+            state, tgt, win, env, lr_,
+        )
+        return vjp(cotangents)
+
+    one_iter.defvjp(one_iter_fwd, one_iter_bwd)
+
+    def step(state):
+        state, mag = one_iter(state, target_pad, window.astype(jnp.float32), inv_env, lr)
+        return state, mag[:, :T, :F]
 
     state = iterate(
         step,

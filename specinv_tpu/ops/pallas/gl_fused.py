@@ -26,8 +26,9 @@ with ``w`` the Hermitian fold weights, so the same two matrices serve both
 directions (halves matrix HBM traffic).
 
 Constraints (fall back to the XLA path otherwise): ``n_fft % 128 == 0``,
-``hop % 128 == 0``, real window, onesided.  Inference-only (no custom VJP) —
-the default XLA path remains the differentiable one.
+``hop % 128 == 0``, real window, onesided.  Reverse-mode is provided by the
+driver-level custom_vjp whose backward differentiates the XLA twin of this
+kernel's math (models/_pallas_driver.gl_xla_twin).
 
 Reference numerics preserved: momentum ``S - lr*pre`` (methods.py:243),
 projection eps 1e-16 (246), pre-momentum magnitude as the metric output

@@ -94,6 +94,31 @@ def test_admm_batched_parity():
     np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
 
 
+@pytest.mark.parametrize("which", ["gl", "admm"])
+def test_gradients_match_xla_path(which):
+    """backend='pallas' is differentiable: custom_vjp routes the backward
+    through the XLA twin of the kernel math."""
+    import jax
+
+    from specinv_tpu import ADMM
+
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    fn = griffin_lim if which == "gl" else ADMM
+    kw = dict(hop_length=128, max_iter=3, tol=0.0, verbose=False)
+
+    def loss(s, backend):
+        y = fn(s, backend=backend, **kw)
+        n = min(y.shape[0], len(x))
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    g_ref = np.asarray(jax.grad(lambda s: loss(s, "fft"))(jnp.asarray(spec)))
+    g_pal = np.asarray(jax.grad(lambda s: loss(s, "pallas"))(jnp.asarray(spec)))
+    assert np.isfinite(g_pal).all()
+    rel = np.abs(g_ref - g_pal).max() / (np.abs(g_ref).max() + 1e-12)
+    assert rel < 5e-3, rel
+
+
 def test_quality_converges():
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)
