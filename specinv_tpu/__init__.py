@@ -15,6 +15,7 @@ from .models import (  # noqa: F401
     ADMM,
     L_BFGS,
     RTISI_LA,
+    RTISIStreamer,
     admm,
     griffin_lim,
     l_bfgs,
@@ -29,6 +30,7 @@ __all__ = [
     "L_BFGS",
     "l_bfgs",
     "RTISI_LA",
+    "RTISIStreamer",
     "rtisi_la",
     "griffin_lim",
     "phase_init",

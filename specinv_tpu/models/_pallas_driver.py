@@ -89,7 +89,8 @@ def pad_tf(a: jnp.ndarray, geo: PaddedGeometry, T: int, F: int) -> jnp.ndarray:
 
 
 def gl_xla_twin(
-    state, target_pad, window, inv_env, lr, cfg: STFTConfig, geo: PaddedGeometry
+    state, target_pad, window, inv_env, lr, cfg: STFTConfig, geo: PaddedGeometry,
+    precision=None,
 ):
     """XLA re-statement of the fused GL kernel's math, same padded-coords IO.
 
@@ -107,7 +108,7 @@ def gl_xla_twin(
     x_pad, pre_re, pre_im = state
     n_fft, hop = cfg.n_fft, cfg.hop_length
     cos, sin, w = _dft_tables(n_fft, geo.f_pad, cfg.normalized)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision or jax.lax.Precision.HIGHEST
 
     frames = frame(x_pad, n_fft, hop) * window            # (B, t_pad, n_fft)
     s_re = jnp.matmul(frames, cos, precision=hi)
@@ -132,6 +133,7 @@ def gl_xla_twin(
 def admm_xla_twin(
     state, target_pad, window, inv_env, rho, cfg: STFTConfig, geo: PaddedGeometry,
     valid_t: int,
+    precision=None,
 ):
     """XLA twin of the fused ADMM kernel (see gl_xla_twin)."""
     import jax
@@ -142,7 +144,7 @@ def admm_xla_twin(
     x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
     n_fft, hop = cfg.n_fft, cfg.hop_length
     cos, sin, w = _dft_tables(n_fft, geo.f_pad, cfg.normalized)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision or jax.lax.Precision.HIGHEST
 
     frames = frame(x_pad, n_fft, hop) * window
     r_re = jnp.matmul(frames, cos, precision=hi)

@@ -176,7 +176,10 @@ def run_tm_pallas(
     def one_iter_bwd(residuals, cotangents):
         state, tgt, win, env, rho_ = residuals
         _, vjp = jax.vjp(
-            lambda s, t, w_, e_, r_: admm_xla_twin(s, t, w_, e_, r_, cfg, geo, T),
+            lambda s, t, w_, e_, r_: admm_xla_twin(
+                s, t, w_, e_, r_, cfg, geo, T,
+                precision=jax.lax.Precision.HIGH,
+            ),
             state, tgt, win, env, rho_,
         )
         return vjp(cotangents)

@@ -53,7 +53,7 @@ def init(
     window: jnp.ndarray,
     envelope: Optional[jnp.ndarray] = None,
     backend: str = "auto",
-    precision=fourier.Precision.HIGHEST,
+    precision=None,
 ) -> GLState:
     x = istft(init_spec_tm, cfg, window, envelope=envelope, backend=backend, precision=precision)
     return GLState(x=x, pre_spec=init_spec_tm)
@@ -67,7 +67,7 @@ def step(
     window: jnp.ndarray,
     envelope: jnp.ndarray,
     backend: str = "auto",
-    precision=fourier.Precision.HIGHEST,
+    precision=None,
 ):
     """One Griffin-Lim iteration. Returns (state, pre-momentum magnitude)."""
     new_spec = stft(state.x, cfg, window, backend=backend, precision=precision)
@@ -143,7 +143,7 @@ def run_tm_pallas(
     block_t: int = 64,
     interpret: bool = False,
     early_stop: bool = True,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGH,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the fused Pallas iteration kernel.
 
@@ -188,7 +188,9 @@ def run_tm_pallas(
     def one_iter_bwd(residuals, cotangents):
         state, tgt, win, env, lr_ = residuals
         _, vjp = jax.vjp(
-            lambda s, t, w_, e_, l_: gl_xla_twin(s, t, w_, e_, l_, cfg, geo),
+            lambda s, t, w_, e_, l_: gl_xla_twin(
+                s, t, w_, e_, l_, cfg, geo, precision=precision
+            ),
             state, tgt, win, env, lr_,
         )
         return vjp(cotangents)

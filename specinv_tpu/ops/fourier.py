@@ -29,10 +29,12 @@ from ..config import STFTConfig
 
 Precision = jax.lax.Precision
 
-# Library-wide default for the DFT matmuls.  HIGHEST (multi-pass bf16 = full
-# f32) is required for reference-parity convergence; lower it only after
-# checking quality on your config (see set_default_precision).
-_DEFAULT_PRECISION = Precision.HIGHEST
+# Library-wide default for the DFT matmuls.  HIGH (3-pass bf16) measures
+# 1.6x faster than HIGHEST on v5e with spectral convergence within 2e-4 dB of
+# the full-f32 trajectory at 1000 iterations (meets the 1e-3 dB parity
+# target); single-pass bf16 ('default') loses ~1 dB — see benchmarks.md.
+# Use set_default_precision('highest') for bit-closest trajectories.
+_DEFAULT_PRECISION = Precision.HIGH
 
 
 def set_default_precision(p) -> None:

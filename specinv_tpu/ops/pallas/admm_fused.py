@@ -22,7 +22,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import STFTConfig
-from .gl_fused import LANE, PROJ_EPS, _anti_identity, _dft_tables, _repad_in_kernel
+from .gl_fused import (
+    LANE,
+    PROJ_EPS,
+    _anti_identity,
+    _dft_tables,
+    _dot3,
+    _repad_in_kernel,
+)
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -54,6 +61,7 @@ def _kernel(
     pad_mode: str,
     p_amt: int,
     e: int,
+    precision,
 ):
     t = pl.program_id(1)
     f = pl.program_id(2)
@@ -76,8 +84,9 @@ def _kernel(
         acc_s[...] = jnp.zeros_like(acc_s)
 
     frames = frames_s[...]
-    r_re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32, precision=HI)
-    r_im = -jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32, precision=HI)
+    fwd_contract = (((1,), (0,)), ((), ()))
+    r_re = _dot3(frames, cos_ref[...], fwd_contract, precision)
+    r_im = -_dot3(frames, sin_ref[...], fwd_contract, precision)
 
     mag_ref[0] = jnp.sqrt(r_re * r_re + r_im * r_im)  # |R| pre-update (464-465)
 
@@ -120,12 +129,8 @@ def _kernel(
 
     wv = w_ref[0, :]
     contract = (((1,), (1,)), ((), ()))
-    acc_s[...] += jax.lax.dot_general(
-        ynew_re * wv, cos_ref[...], contract,
-        preferred_element_type=jnp.float32, precision=HI,
-    ) - jax.lax.dot_general(
-        ynew_im * wv, sin_ref[...], contract,
-        preferred_element_type=jnp.float32, precision=HI,
+    acc_s[...] += _dot3(ynew_re * wv, cos_ref[...], contract, precision) - _dot3(
+        ynew_im * wv, sin_ref[...], contract, precision
     )
 
     @pl.when(f == n_f - 1)
@@ -155,6 +160,7 @@ def fused_admm_iteration(
     e: int,
     block_t: int = 64,
     interpret: bool = False,
+    precision=jax.lax.Precision.HIGH,
 ):
     """One fused ADMM iteration -> (x_div, mag, X_re, X_im, Y_re, Y_im, U_re, U_im).
 
@@ -183,7 +189,7 @@ def fused_admm_iteration(
 
     kernel = functools.partial(
         _kernel, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t,
-        pad_mode=pad_mode, p_amt=p_amt, e=e,
+        pad_mode=pad_mode, p_amt=p_amt, e=e, precision=precision,
     )
     out = pl.pallas_call(
         kernel,

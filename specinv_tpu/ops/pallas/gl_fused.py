@@ -98,6 +98,36 @@ def _repad_in_kernel(x_out_ref, jrev_ref, pad_mode: str, p_amt: int, e: int):
     x_out_ref[0, :, e + 1 : e + 1 + p_amt] = right
 
 
+def _split_bf16(x):
+    """Split f32 into a (hi, lo) bf16 pair: x ~= hi + lo to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_f32, b_f32, contract, precision):
+    """MXU dot at the requested effective precision.
+
+    HIGHEST lowers natively (6-pass).  Mosaic has no HIGH lowering, so the
+    3-pass bf16 scheme is emulated: a@b ~= ah@bh + ah@bl + al@bh with f32
+    accumulation — measured 1.6x faster than HIGHEST at GL-indistinguishable
+    quality (benchmarks.md).
+    """
+    if precision == jax.lax.Precision.HIGH:
+        ah, al = _split_bf16(a_f32)
+        bh, bl = _split_bf16(b_f32)
+        d = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=contract,
+            preferred_element_type=jnp.float32,
+        )
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jax.lax.dot_general(
+        a_f32, b_f32, contract,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _dft_tables(n_fft: int, f_pad: int, normalized: bool):
     """cos/sin matrices (n_fft, f_pad) and Hermitian inverse weights (1, f_pad).
@@ -172,16 +202,11 @@ def _kernel(
         acc_s[...] = jnp.zeros_like(acc_s)
 
     frames = frames_s[...]
-    # HIGHEST => full-f32 accuracy via multi-pass bf16 on the MXU; single-pass
-    # bf16 visibly stalls Griffin-Lim convergence (-17 dB vs -28 dB @ 100 it).
-    s_re = jnp.dot(
-        frames, cos_ref[...],
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    s_im = -jnp.dot(
-        frames, sin_ref[...],
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    # Single-pass bf16 visibly stalls Griffin-Lim convergence (-17 dB vs
+    # -28 dB @ 100 it); HIGH (emulated bf16x3) matches HIGHEST to ~2e-4 dB.
+    fwd_contract = (((1,), (0,)), ((), ()))
+    s_re = _dot3(frames, cos_ref[...], fwd_contract, precision)
+    s_im = -_dot3(frames, sin_ref[...], fwd_contract, precision)
 
     mag_ref[0] = jnp.sqrt(s_re * s_re + s_im * s_im)  # pre-momentum |S|
 
@@ -199,12 +224,8 @@ def _kernel(
     # Inverse DFT partial sum via the transposed forward matrices:
     # frames += P_re @ C^T - P_im @ (-S)^T  (sin sign folded: iDFT real part)
     contract = (((1,), (1,)), ((), ()))
-    acc_s[...] += jax.lax.dot_general(
-        p_re, cos_ref[...], contract,
-        preferred_element_type=jnp.float32, precision=precision,
-    ) - jax.lax.dot_general(
-        p_im, sin_ref[...], contract,
-        preferred_element_type=jnp.float32, precision=precision,
+    acc_s[...] += _dot3(p_re, cos_ref[...], contract, precision) - _dot3(
+        p_im, sin_ref[...], contract, precision
     )
 
     @pl.when(f == n_f - 1)
@@ -247,7 +268,7 @@ def fused_gl_iteration(
     e: int,                  # last real sample index, padded coords
     block_t: int = 64,
     interpret: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=jax.lax.Precision.HIGH,
 ):
     """One fused Griffin-Lim iteration.
 
@@ -265,8 +286,6 @@ def fused_gl_iteration(
     cos, sin, w = _dft_tables(n_fft, f_pad, cfg.normalized)
     n_t = t_pad // block_t
     n_f = f_pad // LANE
-    if precision == jax.lax.Precision.HIGH:
-        precision = jax.lax.Precision.HIGHEST  # Mosaic supports DEFAULT/HIGHEST only
     p_amt = cfg.pad_amount
     pad_mode = cfg.jnp_pad_mode
     if p_amt and pad_mode == "reflect":

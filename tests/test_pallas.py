@@ -27,7 +27,7 @@ def test_parity_pad_modes(pad_mode):
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
     b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
     assert a.shape == b.shape
-    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
 def test_parity_batched():
@@ -36,7 +36,7 @@ def test_parity_batched():
     kw = dict(hop_length=128, max_iter=5, tol=0.0, verbose=False)
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
     b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
-    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
 def test_parity_center_false():
@@ -45,7 +45,7 @@ def test_parity_center_false():
     kw = dict(hop_length=128, center=False, max_iter=5, tol=0.0, verbose=False)
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
     b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
-    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
 def test_parity_early_stop():
@@ -54,7 +54,7 @@ def test_parity_early_stop():
     kw = dict(hop_length=128, max_iter=40, tol=1.0, eva_iter=5, verbose=False)
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
     b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
-    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
 def test_unsupported_config_raises():
@@ -80,7 +80,7 @@ def test_admm_parity(rho):
     kw = dict(hop_length=128, max_iter=6, tol=0.0, rho=rho, verbose=False)
     a = np.asarray(ADMM(spec, backend="fft", **kw))
     b = np.asarray(ADMM(spec, backend="pallas", **kw))
-    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
 def test_admm_batched_parity():
@@ -91,7 +91,7 @@ def test_admm_batched_parity():
     kw = dict(hop_length=128, max_iter=4, tol=0.0, verbose=False)
     a = np.asarray(ADMM(spec, backend="fft", **kw))
     b = np.asarray(ADMM(spec, backend="pallas", **kw))
-    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
 @pytest.mark.parametrize("which", ["gl", "admm"])
@@ -116,7 +116,33 @@ def test_gradients_match_xla_path(which):
     g_pal = np.asarray(jax.grad(lambda s: loss(s, "pallas"))(jnp.asarray(spec)))
     assert np.isfinite(g_pal).all()
     rel = np.abs(g_ref - g_pal).max() / (np.abs(g_ref).max() + 1e-12)
-    assert rel < 5e-3, rel
+    assert rel < 5e-2, rel
+
+
+def test_highest_precision_strict_parity():
+    """With precision=HIGHEST the kernel matches the full-f32 XLA path
+    tightly (the default HIGH/bf16x3 trades ~1e-4 rel divergence for 1.5x)."""
+    import importlib
+
+    import jax
+
+    gl_mod = importlib.import_module("specinv_tpu.models.griffin_lim")
+
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    cfg, w = canonicalize(spec.shape[0], np.float32, hop_length=128)
+    wj = jnp.asarray(w)
+    tm = jnp.swapaxes(jnp.asarray(spec), -1, -2)[None]
+    init = tm.astype(jnp.complex64)
+    args = (tm, init, wj, jnp.float32(0.99 / 1.99), jnp.float32(0.0), cfg)
+    a = np.asarray(gl_mod.run_tm(*args, max_iter=6, backend="fft"))
+    b = np.asarray(
+        gl_mod.run_tm_pallas(
+            *args, max_iter=6, interpret=True,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    np.testing.assert_allclose(b, a, atol=5e-5 * np.abs(a).max())
 
 
 def test_quality_converges():
