@@ -138,6 +138,7 @@ def run_tm_pallas(
     """ADMM driven by the fused Pallas iteration kernel; same numerics as
     :func:`run_tm` — see ops/pallas/admm_fused.py.  Differentiable via the
     XLA-twin custom_vjp (see griffin_lim.run_tm_pallas)."""
+    precision = fourier.default_precision()
     from ..ops.framing import pad_center
     from ..ops.pallas.admm_fused import fused_admm_iteration
     from ._pallas_driver import make_geometry, make_inv_env, pad_tf
@@ -167,6 +168,7 @@ def run_tm_pallas(
         x_pad, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration(
             x_pad, Xr, Xi, Yr, Yi, Ur, Ui, tgt, win, env, rho_,
             cfg, valid_t=T, e=geo.e, block_t=geo.block_t, interpret=interpret,
+            precision=precision,
         )
         return (x_pad, Xr, Xi, Yr, Yi, Ur, Ui), mag
 
@@ -177,8 +179,7 @@ def run_tm_pallas(
         state, tgt, win, env, rho_ = residuals
         _, vjp = jax.vjp(
             lambda s, t, w_, e_, r_: admm_xla_twin(
-                s, t, w_, e_, r_, cfg, geo, T,
-                precision=jax.lax.Precision.HIGH,
+                s, t, w_, e_, r_, cfg, geo, T, precision=precision
             ),
             state, tgt, win, env, rho_,
         )

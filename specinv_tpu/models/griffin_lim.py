@@ -143,7 +143,7 @@ def run_tm_pallas(
     block_t: int = 64,
     interpret: bool = False,
     early_stop: bool = True,
-    precision=jax.lax.Precision.HIGH,
+    precision=None,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the fused Pallas iteration kernel.
 
@@ -157,6 +157,8 @@ def run_tm_pallas(
     from ..ops.pallas.gl_fused import fused_gl_iteration
     from ._pallas_driver import gl_xla_twin, make_geometry, make_inv_env, pad_tf
 
+    if precision is None:
+        precision = fourier.default_precision()
     B, T, F = target_tm.shape
     geo = make_geometry(cfg, T, F)
     inv_env = make_inv_env(cfg, window, T, geo)

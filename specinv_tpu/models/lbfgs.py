@@ -31,13 +31,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..utils.runner import iterate
+from ..utils.runner import _mse, iterate
 from .common import as_array
-
-
-def _mse(a, b):
-    d = a - b
-    return jnp.mean((d * d).real)
 
 
 @partial(

@@ -160,10 +160,17 @@ def _run_seq(
                     x_div = jnp.where(on_last, x_right, x_div)
             return (x_div, pre), out
 
-        total = B * T * F  # true element count (padded frames contribute ~0)
+        total = B * T * F  # true element count
+        Ts_local = T_pad // n
 
         def psum_mse(out, tgt):
-            d = out - tgt
+            # Mask rows beyond the true frame count T: padded frames have a
+            # zero target but their analysis reads real signal tail, so
+            # including them would shift the early-stop iteration away from
+            # the unsharded path's.
+            row = idx * Ts_local + jnp.arange(Ts_local)
+            valid = (row < T)[None, :, None]
+            d = jnp.where(valid, out - tgt, 0.0)
             local = jnp.sum((d * d).real)
             axes = ("seq",) if not shard_batch_axis else ("seq", "data")
             return jax.lax.psum(local, axes) / total

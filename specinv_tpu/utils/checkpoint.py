@@ -18,20 +18,16 @@ states here a plain ``.npz`` round trip is dependency-free and portable.
 """
 from __future__ import annotations
 
-import json
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
 def save_state(path: str, state) -> None:
-    """Serialize any pytree of arrays to ``path`` (.npz + structure)."""
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(path, __treedef__=np.frombuffer(
-        json.dumps(str(treedef)).encode(), dtype=np.uint8
-    ), **arrays)
+    """Serialize any pytree of arrays to ``path`` (.npz); the tree structure
+    is supplied at load time by a template (``load_state``'s ``like``)."""
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)})
 
 
 def load_state(path: str, like):

@@ -93,25 +93,30 @@ def iterate(
 
     def eval_and_stop(i, out, prev, init, done):
         is_eval = (i % eva_iter) == (eva_iter - 1)
-        l2 = loss_fn(out, target).astype(real_dtype)
-        if verbose:
-            metric_val = metric_fn(out, target)
 
-            def _report(i_, l2_, m_, is_eval_):
-                if is_eval_:
-                    _progress_print(i_, metric, m_, l2_)
+        # lax.cond so the loss reduction (and, in the sequence-parallel path,
+        # its cross-shard psum) runs only every eva_iter-th iteration instead
+        # of being computed-then-discarded on every step.
+        def do_eval(args):
+            i_, out_, prev_, init_, done_ = args
+            l2 = loss_fn(out_, target).astype(real_dtype)
+            if verbose:
+                metric_val = metric_fn(out_, target)
 
-            jax.debug.callback(_report, i, l2, metric_val, is_eval)
-        first = jnp.isnan(init)
-        new_init = jnp.where(is_eval & first, l2, init)
-        stop = (
-            is_eval
-            & ~first
-            & ((prev - l2) / new_init < tol)
-            & (prev > l2)
-        )
-        new_prev = jnp.where(is_eval, l2, prev)
-        return new_prev, new_init, done | stop
+                def _report(ii, l2_, m_):
+                    _progress_print(ii, metric, m_, l2_)
+
+                jax.debug.callback(_report, i_, l2, metric_val)
+            first = jnp.isnan(init_)
+            new_init = jnp.where(first, l2, init_)
+            stop = ~first & ((prev_ - l2) / new_init < tol) & (prev_ > l2)
+            return l2, new_init, done_ | stop
+
+        def skip_eval(args):
+            _, _, prev_, init_, done_ = args
+            return prev_, init_, done_
+
+        return jax.lax.cond(is_eval, do_eval, skip_eval, (i, out, prev, init, done))
 
     if mode == "fori":
 

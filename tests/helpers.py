@@ -1,6 +1,18 @@
 """Shared test helpers: torch<->jax bridging for golden-parity tests."""
 import numpy as np
+import pytest
 import torch
+
+try:  # the reference repo is mounted locally; absent on CI runners
+    import torch_specinv  # noqa: F401
+
+    HAS_REFERENCE = True
+except ImportError:
+    HAS_REFERENCE = False
+
+requires_reference = pytest.mark.skipif(
+    not HAS_REFERENCE, reason="torch_specinv reference not available"
+)
 
 nfft_list = [128, 256, 512]
 

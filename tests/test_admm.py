@@ -7,7 +7,7 @@ import torch
 
 from specinv_tpu import ADMM
 
-from .helpers import make_signal, nfft_list, torch_stft
+from .helpers import requires_reference, make_signal, nfft_list, torch_stft
 
 
 @pytest.mark.parametrize("x_sizes", [(4410,), (2, 4410), (1, 4410)])
@@ -59,6 +59,7 @@ def test_stft_args(win_length, use_hann, hop_length, center, normalized, oneside
     assert not bool(jnp.all(g == 0))
 
 
+@requires_reference
 def test_waveform_parity_exact():
     from torch_specinv.methods import ADMM as ref_admm
 
@@ -71,6 +72,7 @@ def test_waveform_parity_exact():
 
 
 @pytest.mark.parametrize("rho", [0.1, 1.0])
+@requires_reference
 def test_golden_convergence_parity(rho):
     from torch_specinv.methods import ADMM as ref_admm
     from specinv_tpu import sc

@@ -6,10 +6,11 @@ import torch
 
 from specinv_tpu import metrics
 
-from .helpers import make_signal
+from .helpers import requires_reference, make_signal
 
 
 @pytest.mark.parametrize("name", ["sc", "snr", "ser"])
+@requires_reference
 def test_metric_matches_reference(name):
     from torch_specinv import metrics as ref_metrics
 

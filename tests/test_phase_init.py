@@ -7,11 +7,12 @@ import torch
 
 from specinv_tpu import phase_init
 
-from .helpers import make_signal, nfft_list, torch_stft
+from .helpers import requires_reference, make_signal, nfft_list, torch_stft
 
 
 @pytest.mark.parametrize("nfft", nfft_list)
 @pytest.mark.parametrize("batched", [False, True])
+@requires_reference
 def test_phase_init_matches_reference(nfft, batched):
     from torch_specinv.methods import phase_init as ref_phase_init
 
@@ -25,6 +26,7 @@ def test_phase_init_matches_reference(nfft, batched):
 
 
 @pytest.mark.parametrize("hop", [64, 100])
+@requires_reference
 def test_phase_init_hop_matches_reference(hop):
     from torch_specinv.methods import phase_init as ref_phase_init
 

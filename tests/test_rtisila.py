@@ -8,7 +8,7 @@ import torch
 
 from specinv_tpu import RTISI_LA
 
-from .helpers import make_signal, nfft_list, torch_stft
+from .helpers import requires_reference, make_signal, nfft_list, torch_stft
 
 
 @pytest.mark.parametrize("x_sizes", [(4410,), (2, 4410), (1, 4410)])
@@ -52,6 +52,7 @@ def test_stft_args(look_ahead, asymmetric_window, hop_length, center, onesided):
 
 @pytest.mark.parametrize("look_ahead", [-1, 2, 0])
 @pytest.mark.parametrize("asymmetric_window", [False, True])
+@requires_reference
 def test_waveform_parity_exact(look_ahead, asymmetric_window):
     """Machine-precision parity on a short spec.  (On long signals the causal
     recursion amplifies last-bit FFT-backend differences exponentially — ~x2
@@ -77,6 +78,7 @@ def test_waveform_parity_exact(look_ahead, asymmetric_window):
     np.testing.assert_allclose(ours_y, ref_y, atol=1e-10)
 
 
+@requires_reference
 def test_quality_parity_long():
     from torch_specinv.methods import RTISI_LA as ref_rtisi
     from specinv_tpu import sc

@@ -109,6 +109,20 @@ def test_seq_parallel_early_stop():
     np.testing.assert_allclose(out, ref, atol=1e-10)
 
 
+def test_seq_parallel_moderate_tol_stops_same_iteration():
+    """Regression: the psum'd stop loss must mask zero-target padded frames,
+    whose analysis reads real signal tail — unmasked they shifted the stop
+    iteration (0.22 output divergence at tol=3e-3)."""
+    mesh = make_mesh(data=1, seq=8)
+    x = make_signal((44100,), dtype=np.float32)
+    spec = np.abs(torch_stft(x, 512)).astype(np.float32)
+    ref = np.asarray(
+        griffin_lim(spec, max_iter=60, tol=3e-3, eva_iter=5, verbose=False)
+    )
+    out = np.asarray(griffin_lim_seq(spec, mesh, max_iter=60, tol=3e-3, eva_iter=5))
+    np.testing.assert_allclose(out, ref, atol=1e-4 * np.abs(ref).max())
+
+
 def test_seq_too_many_shards_raises():
     mesh = make_mesh(data=1, seq=8)
     x = make_signal((2000,))

@@ -8,7 +8,7 @@ import torch
 from specinv_tpu.config import canonicalize
 from specinv_tpu.ops import stft as stft_ops
 
-from .helpers import make_signal, nfft_list, torch_stft
+from .helpers import requires_reference, make_signal, nfft_list, torch_stft
 
 
 def _canon(num_bins, dtype=np.float64, **kw):
@@ -64,6 +64,7 @@ def test_stft_kwarg_grid_matches_torch(hop, win_length, use_hann, normalized, on
 @pytest.mark.parametrize("nfft", nfft_list)
 @pytest.mark.parametrize("center", [True, False])
 @pytest.mark.parametrize("use_hann", [False, True])
+@requires_reference
 def test_istft_matches_reference(nfft, center, use_hann):
     """Golden parity with the reference's _istft (irfft + conv_transpose OLA +
     window^2 envelope divide), methods.py:114-150."""
@@ -118,6 +119,7 @@ def test_matmul_backend_matches_fft():
         np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-3)
 
 
+@requires_reference
 def test_envelope_matches_reference_lazy_envelope():
     from torch_specinv.methods import _args_helper, _get_ola_weight, _ola
 
