@@ -54,7 +54,15 @@ def default_precision():
     return _DEFAULT_PRECISION
 
 
-def resolve_backend(backend: str, cfg: STFTConfig, dtype) -> str:
+def resolve_backend(backend: str, cfg: STFTConfig, dtype, rows: int = None) -> str:
+    """Pick the DFT lowering.
+
+    ``rows`` is the number of frames transformed per call: the matmul backend
+    streams the (n_fft, F) cos/sin matrices from HBM on every call, which
+    only amortizes over enough rows — a handful of frames (e.g. RTISI-LA's
+    look-ahead window) is HBM-bound on matrix traffic and much faster on the
+    FFT path.
+    """
     if backend != "auto":
         return backend
     platform = jax.default_backend()
@@ -63,6 +71,8 @@ def resolve_backend(backend: str, cfg: STFTConfig, dtype) -> str:
     if jnp.dtype(dtype) in (jnp.float64, jnp.complex128):
         return "fft"
     if cfg.n_fft > 8192:
+        return "fft"
+    if rows is not None and rows < 32:
         return "fft"
     return "matmul"
 
@@ -117,7 +127,8 @@ def forward(
     """DFT along the last axis of windowed frames -> complex (..., T, F)."""
     if precision is None:
         precision = _DEFAULT_PRECISION
-    backend = resolve_backend(backend, cfg, frames.dtype)
+    rows = frames.shape[-2] if frames.ndim >= 2 else None
+    backend = resolve_backend(backend, cfg, frames.dtype, rows=rows)
     if jnp.iscomplexobj(frames):
         backend = "fft"  # complex-window path; rare, keep on FftOp
     if backend == "fft":
@@ -152,7 +163,8 @@ def inverse(
     """
     if precision is None:
         precision = _DEFAULT_PRECISION
-    backend = resolve_backend(backend, cfg, spec.dtype)
+    rows = spec.shape[-2] if spec.ndim >= 2 else None
+    backend = resolve_backend(backend, cfg, spec.dtype, rows=rows)
     if backend == "fft":
         if cfg.onesided:
             return jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1, norm=cfg.fft_norm)

@@ -75,12 +75,22 @@ def _kernel(
 
     @pl.when(f == 0)
     def _build_frames():
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
-            return 0
+        if n_fft % hop == 0:
+            # Strided-reshape framing (see gl_fused._build_frames).
+            for j in range(n_fft // hop):
+                seg = x_ref[
+                    0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
+                ].reshape(block_t, hop)
+                frames_s[:, j * hop : (j + 1) * hop] = (
+                    seg * window[j * hop : (j + 1) * hop]
+                )
+        else:
+            def body(tl, _):
+                start = (t * block_t + tl) * hop
+                frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
+                return 0
 
-        jax.lax.fori_loop(0, block_t, body, 0)
+            jax.lax.fori_loop(0, block_t, body, 0)
         acc_s[...] = jnp.zeros_like(acc_s)
 
     frames = frames_s[...]
@@ -135,12 +145,26 @@ def _kernel(
 
     @pl.when(f == n_f - 1)
     def _ola():
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            x_out_ref[0, 0, pl.ds(start, n_fft)] += acc_s[tl, :] * window
-            return 0
+        if n_fft % hop == 0:
+            # Strided-reshape overlap-add (see gl_fused._ola).
+            for j in range(n_fft // hop):
+                start = (t * block_t + j) * hop
+                cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
+                    block_t, hop
+                )
+                add = acc_s[:, j * hop : (j + 1) * hop] * window[
+                    j * hop : (j + 1) * hop
+                ]
+                x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
+                    cur + add
+                ).reshape(block_t * hop)
+        else:
+            def body(tl, _):
+                start = (t * block_t + tl) * hop
+                x_out_ref[0, 0, pl.ds(start, n_fft)] += acc_s[tl, :] * window
+                return 0
 
-        jax.lax.fori_loop(0, block_t, body, 0)
+            jax.lax.fori_loop(0, block_t, body, 0)
 
     @pl.when(jnp.logical_and(t == n_t - 1, f == n_f - 1))
     def _normalize():

@@ -193,12 +193,24 @@ def _kernel(
 
     @pl.when(f == 0)
     def _build_frames():
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
-            return 0
+        if n_fft % hop == 0:
+            # Strided-reshape framing: chunk j of every frame row is a
+            # contiguous run of the signal — k block copies instead of a
+            # block_t-step row loop (Mosaic handles the 1D<->2D reshape).
+            for j in range(n_fft // hop):
+                seg = x_ref[
+                    0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
+                ].reshape(block_t, hop)
+                frames_s[:, j * hop : (j + 1) * hop] = (
+                    seg * window[j * hop : (j + 1) * hop]
+                )
+        else:
+            def body(tl, _):
+                start = (t * block_t + tl) * hop
+                frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
+                return 0
 
-        jax.lax.fori_loop(0, block_t, body, 0)
+            jax.lax.fori_loop(0, block_t, body, 0)
         acc_s[...] = jnp.zeros_like(acc_s)
 
     frames = frames_s[...]
@@ -230,12 +242,27 @@ def _kernel(
 
     @pl.when(f == n_f - 1)
     def _ola():
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            x_out_ref[0, 0, pl.ds(start, n_fft)] += acc_s[tl, :] * window
-            return 0
+        if n_fft % hop == 0:
+            # Mirror of the strided-reshape framing; the k column-chunk adds
+            # overlap each other across j, so they stay sequential.
+            for j in range(n_fft // hop):
+                start = (t * block_t + j) * hop
+                cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
+                    block_t, hop
+                )
+                add = acc_s[:, j * hop : (j + 1) * hop] * window[
+                    j * hop : (j + 1) * hop
+                ]
+                x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
+                    cur + add
+                ).reshape(block_t * hop)
+        else:
+            def body(tl, _):
+                start = (t * block_t + tl) * hop
+                x_out_ref[0, 0, pl.ds(start, n_fft)] += acc_s[tl, :] * window
+                return 0
 
-        jax.lax.fori_loop(0, block_t, body, 0)
+            jax.lax.fori_loop(0, block_t, body, 0)
 
     # Epilogue: fused envelope divide + interior mask over the whole clip
     # (inv_env is interior_mask/env — zero outside the interior, so the
