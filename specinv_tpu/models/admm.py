@@ -278,9 +278,12 @@ def ADMM(
     """Reference-parity entry point (methods.py:415-506)."""
     assert eva_iter > 0 and max_iter > 0 and tol >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
-    if backend == "pallas":
-        from ..ops.pallas import gl_fused
+    from ..ops.pallas import gl_fused
 
+    if backend == "auto" and jax.default_backend() not in ("cpu",):
+        if gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
+            backend = "pallas"
+    if backend == "pallas":
         if not gl_fused.supports(cfg, window):
             raise ValueError(
                 "pallas backend requires onesided, n_fft % 128 == 0, "

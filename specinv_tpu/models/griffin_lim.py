@@ -304,9 +304,15 @@ def griffin_lim(
     """
     assert alpha >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
-    if backend == "pallas":
-        from ..ops.pallas import gl_fused
+    from ..ops.pallas import gl_fused
 
+    if backend == "auto" and jax.default_backend() not in ("cpu",):
+        # The fused kernel is the fastest path and (via the XLA-twin
+        # custom_vjp) fully differentiable — make it the TPU default where
+        # the config allows.
+        if gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
+            backend = "pallas"
+    if backend == "pallas":
         if not gl_fused.supports(cfg, window):
             raise ValueError(
                 "pallas backend requires onesided, n_fft % 128 == 0, "

@@ -33,6 +33,13 @@ def batched(fn: Callable, mesh: Mesh, axis_name: str = "data") -> Callable:
             raise ValueError(
                 f"batched inversion needs a (B, F, T) spectrogram; got rank {spec.ndim}"
             )
+        # GSPMD partitions the XLA paths across the mesh automatically; the
+        # Pallas kernel has no sharding rule, so pin an XLA lowering on
+        # accelerators (on CPU 'auto' already resolves to fft).
+        import jax
+
+        if jax.default_backend() != "cpu":
+            kwargs.setdefault("backend", "matmul")
         spec = shard_batch(spec, mesh, axis_name)
         return fn(spec, *args, **kwargs)
 
