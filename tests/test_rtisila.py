@@ -140,6 +140,38 @@ def test_streamer_matches_offline_interior():
     np.testing.assert_allclose(a, b, atol=1e-8)
 
 
+def test_streamer_asymmetric_matches_offline_interior():
+    from specinv_tpu.models.rtisi_la import RTISIStreamer
+
+    n_fft, la = 256, 2
+    x = make_signal((4410,), dtype=np.float64)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float64)
+    offline = np.asarray(
+        RTISI_LA(mag, look_ahead=la, asymmetric_window=True, max_iter=4, verbose=False)
+    )
+    st = RTISIStreamer(
+        num_freqs=mag.shape[0], look_ahead=la, asymmetric_window=True,
+        max_iter=4, dtype=jnp.float64,
+    )
+    chunks = [c for c in (st.push(mag[:, t]) for t in range(mag.shape[1])) if c is not None]
+    stream = np.asarray(jnp.concatenate(chunks + [st.flush()], axis=1))[0]
+    p = n_fft // 2
+    n = min(len(offline), len(stream) - p)
+    np.testing.assert_allclose(
+        offline[n_fft : n - n_fft], stream[p + n_fft : p + n - n_fft], atol=1e-8
+    )
+
+
+def test_streamer_batched():
+    from specinv_tpu.models.rtisi_la import RTISIStreamer
+
+    st = RTISIStreamer(num_freqs=129, look_ahead=1, max_iter=2, batch=3)
+    out = None
+    for t in range(5):
+        out = st.push(np.abs(make_signal((3, 129), np.float32, seed=t)))
+    assert out is not None and out.shape == (3, st.cfg.hop_length)
+
+
 def test_streamer_latency_and_shapes():
     from specinv_tpu.models.rtisi_la import RTISIStreamer
 
