@@ -105,6 +105,17 @@ def _split_bf16(x):
     return hi, lo
 
 
+def _dot3_pre(a_hi, a_lo, b_f32, contract):
+    """bf16x3 dot with the first operand already split (cached hi/lo)."""
+    bh, bl = _split_bf16(b_f32)
+    d = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=contract,
+        preferred_element_type=jnp.float32,
+    )
+    return d(a_hi, bh) + d(a_hi, bl) + d(a_lo, bh)
+
+
 def _dot3(a_f32, b_f32, contract, precision):
     """MXU dot at the requested effective precision.
 
@@ -172,6 +183,8 @@ def _kernel(
     npre_im_ref,   # (1, BT, LANE)
     frames_s,      # VMEM scratch (BT, n_fft)
     acc_s,         # VMEM scratch (BT, n_fft)
+    fhi_s,         # VMEM scratch (BT, n_fft) bf16 — cached hi split of frames
+    flo_s,         # VMEM scratch (BT, n_fft) bf16 — cached lo split
     *,
     block_t: int,
     n_fft: int,
@@ -212,13 +225,24 @@ def _kernel(
 
             jax.lax.fori_loop(0, block_t, body, 0)
         acc_s[...] = jnp.zeros_like(acc_s)
+        if precision == jax.lax.Precision.HIGH:
+            # Split the frame block once; every f step reuses the cached
+            # bf16 hi/lo pair instead of re-decomposing 3.7 MB of operand.
+            fr = frames_s[...]
+            hi = fr.astype(jnp.bfloat16)
+            fhi_s[...] = hi
+            flo_s[...] = (fr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     frames = frames_s[...]
     # Single-pass bf16 visibly stalls Griffin-Lim convergence (-17 dB vs
     # -28 dB @ 100 it); HIGH (emulated bf16x3) matches HIGHEST to ~2e-4 dB.
     fwd_contract = (((1,), (0,)), ((), ()))
-    s_re = _dot3(frames, cos_ref[...], fwd_contract, precision)
-    s_im = -_dot3(frames, sin_ref[...], fwd_contract, precision)
+    if precision == jax.lax.Precision.HIGH:
+        s_re = _dot3_pre(fhi_s[...], flo_s[...], cos_ref[...], fwd_contract)
+        s_im = -_dot3_pre(fhi_s[...], flo_s[...], sin_ref[...], fwd_contract)
+    else:
+        s_re = _dot3(frames, cos_ref[...], fwd_contract, precision)
+        s_im = -_dot3(frames, sin_ref[...], fwd_contract, precision)
 
     mag_ref[0] = jnp.sqrt(s_re * s_re + s_im * s_im)  # pre-momentum |S|
 
@@ -358,6 +382,8 @@ def fused_gl_iteration(
         scratch_shapes=[
             pltpu.VMEM((block_t, n_fft), jnp.float32),
             pltpu.VMEM((block_t, n_fft), jnp.float32),
+            pltpu.VMEM((block_t, n_fft), jnp.bfloat16),
+            pltpu.VMEM((block_t, n_fft), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
