@@ -81,7 +81,7 @@ def step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -97,10 +97,11 @@ def run_tm(
     mode: str = "fori",
     backend: str = "auto",
     early_stop: bool = True,
+    precision=None,
 ) -> jnp.ndarray:
     """Jitted time-major Griffin-Lim: magnitude target (B, T, F) -> waveform (B, L)."""
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
-    state = init(target_tm, init_spec_tm, cfg, window, envelope=envelope, backend=backend)
+    state = init(target_tm, init_spec_tm, cfg, window, envelope=envelope, backend=backend, precision=precision)
     step_fn = partial(
         step,
         target_tm=target_tm,
@@ -109,6 +110,7 @@ def run_tm(
         window=window,
         envelope=envelope,
         backend=backend,
+        precision=precision,
     )
     state = iterate(
         step_fn,
@@ -187,11 +189,18 @@ def run_tm_pallas(
         out = one_iter(state, tgt, win, env, lr_)
         return out, (state, tgt, win, env, lr_)
 
+    # The twin's matmuls need a real lax.Precision; kernel-only scheme strings
+    # ('bf16x2'/'bf16x2t' and tuples) map to HIGHEST for the backward pass.
+    twin_precision = (
+        precision if isinstance(precision, jax.lax.Precision)
+        else jax.lax.Precision.HIGHEST
+    )
+
     def one_iter_bwd(residuals, cotangents):
         state, tgt, win, env, lr_ = residuals
         _, vjp = jax.vjp(
             lambda s, t, w_, e_, l_: gl_xla_twin(
-                s, t, w_, e_, l_, cfg, geo, precision=precision
+                s, t, w_, e_, l_, cfg, geo, precision=twin_precision
             ),
             state, tgt, win, env, lr_,
         )
@@ -223,7 +232,7 @@ def run_tm_pallas(
     jax.jit,
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
-        "interpret", "early_stop",
+        "interpret", "early_stop", "precision",
     ),
 )
 def _full_run(
@@ -240,6 +249,7 @@ def _full_run(
     backend: str,
     interpret: bool,
     early_stop: bool,
+    precision=None,
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
@@ -262,6 +272,7 @@ def _full_run(
             verbose=verbose,
             interpret=interpret,
             early_stop=early_stop,
+            precision=precision,
         )
     return run_tm.__wrapped__(
         target_tm,
@@ -277,6 +288,7 @@ def _full_run(
         mode=mode,
         backend=backend,
         early_stop=early_stop,
+        precision=precision if isinstance(precision, jax.lax.Precision) else None,
     )
 
 
@@ -290,6 +302,7 @@ def griffin_lim(
     metric: str = "sc",
     mode: str = "fori",
     backend: str = "auto",
+    precision=None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:193-270).
@@ -298,9 +311,11 @@ def griffin_lim(
     plus the torch.stft kwarg space; returns the reconstructed waveform.
 
     Extra (TPU-specific) knobs over the reference: ``mode`` ('fori' keeps the
-    loop differentiable, 'while' exits early on-device) and ``backend``
+    loop differentiable, 'while' exits early on-device), ``backend``
     ('auto'/'fft'/'matmul'/'pallas' lowering — 'pallas' runs the fused
-    single-kernel iteration, inference-only).
+    single-kernel iteration), and ``precision`` (a ``jax.lax.Precision``, or
+    for the pallas backend also a bf16 scheme string 'bf16x2'/'bf16x2t' or an
+    (analysis, synthesis) tuple of schemes; None = library default).
     """
     assert alpha >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
@@ -333,5 +348,6 @@ def griffin_lim(
         backend=backend,
         interpret=jax.default_backend() == "cpu",
         early_stop=bool(tol > 0),
+        precision=precision,
     )
     return restore_output(x, was_2d)

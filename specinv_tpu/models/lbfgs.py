@@ -13,11 +13,21 @@ inside ``lax`` loops — zero host syncs.
 Hyperparameter mapping from ``torch.optim.LBFGS`` (the reference forwards its
 kwargs raw at methods.py:543; demo values at main.py:43):
 
-  * ``lr``             -> fixed step size when ``line_search_fn is None``
-                          (torch semantics); ignored under line search
-  * ``max_iter``       -> inner L-BFGS iterations per outer step (default 20)
-  * ``history_size``   -> ``memory_size`` (default 100)
-  * ``line_search_fn`` -> ``None`` (fixed step) or ``'strong_wolfe'`` (zoom)
+  * ``lr``               -> fixed step size when ``line_search_fn is None``
+                            (torch semantics); initial zoom step under search
+  * ``max_iter``         -> inner L-BFGS iterations per outer step (default 20)
+  * ``max_eval``         -> inner closure-eval budget (default max_iter*5//4)
+  * ``tolerance_grad``   -> grad-infinity-norm stop (default 1e-7)
+  * ``tolerance_change`` -> step/loss-delta stop (default 1e-9)
+  * ``history_size``     -> two-loop memory (default 100)
+  * ``line_search_fn``   -> ``None`` (fixed step) or ``'strong_wolfe'`` (zoom)
+
+The fixed-step path is trajectory-exact against torch (see
+:mod:`._lbfgs_torch`); the strong-Wolfe path uses optax's zoom line search
+(a different but equivalent-strength search than torch's cubic
+interpolation), with the same termination criteria applied per inner
+iteration and ``max_eval`` enforced as an iteration cap (each zoom iteration
+costs at least one closure eval).
 
 Like the reference (which returns ``x.detach()``), the result is not
 differentiated through the optimization trajectory.
@@ -25,13 +35,14 @@ differentiated through the optimization trajectory.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..utils.runner import _mse, iterate
+from ._lbfgs_torch import init_state, lbfgs_step
 from .common import as_array
 
 
@@ -44,6 +55,9 @@ from .common import as_array
         "history_size",
         "line_search",
         "lr",
+        "max_eval",
+        "tolerance_grad",
+        "tolerance_change",
         "eva_iter",
         "metric",
         "verbose",
@@ -60,6 +74,9 @@ def run(
     history_size: int = 100,
     line_search: bool = True,
     lr: float = 1.0,
+    max_eval: int = 25,
+    tolerance_grad: float = 1e-7,
+    tolerance_change: float = 1e-9,
     eva_iter: int = 10,
     metric: str = "sc",
     verbose: bool = False,
@@ -72,27 +89,52 @@ def run(
         opt = optax.lbfgs(memory_size=history_size)
         # Reuse the value/grad the zoom line search already computed.
         value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+        def inner_cond(carry):
+            _, _, _, k, done = carry
+            return jnp.logical_and(k < min(inner_max_iter, max_eval), ~done)
+
+        def inner_step(carry):
+            x, opt_state, prev_loss, k, done = carry
+            value, grad = value_and_grad(x, state=opt_state)
+            updates, opt_state = opt.update(
+                grad, opt_state, x, value=value, grad=grad, value_fn=loss_fn
+            )
+            done = (
+                (jnp.max(jnp.abs(grad)) <= tolerance_grad)
+                | (jnp.max(jnp.abs(updates)) <= tolerance_change)
+                | (jnp.abs(value - prev_loss) < tolerance_change)
+            )
+            return (
+                optax.apply_updates(x, updates), opt_state, value,
+                k + 1, done,
+            )
+
+        def outer_step(state):
+            x, opt_state = state
+            x, opt_state, _, _, _ = jax.lax.while_loop(
+                inner_cond,
+                inner_step,
+                (x, opt_state, jnp.asarray(jnp.inf, x0.dtype),
+                 jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+            )
+            return (x, opt_state), transform_fn(x)
+
+        state = (x0, opt.init(x0))
     else:
-        opt = optax.lbfgs(learning_rate=lr, memory_size=history_size, linesearch=None)
         plain_vg = jax.value_and_grad(loss_fn)
-        value_and_grad = lambda x, state: plain_vg(x)  # noqa: E731
 
-    def inner_step(_, carry):
-        x, opt_state = carry
-        value, grad = value_and_grad(x, state=opt_state)
-        updates, opt_state = opt.update(
-            grad, opt_state, x, value=value, grad=grad, value_fn=loss_fn
-        )
-        return optax.apply_updates(x, updates), opt_state
+        def outer_step(state):
+            x, st = state
+            x, st = lbfgs_step(
+                x, st, plain_vg, lr=lr, max_iter=inner_max_iter,
+                max_eval=max_eval, tolerance_grad=tolerance_grad,
+                tolerance_change=tolerance_change,
+            )
+            return (x, st), transform_fn(x)
 
-    def outer_step(state):
-        x, opt_state = state
-        x, opt_state = jax.lax.fori_loop(
-            0, inner_max_iter, inner_step, (x, opt_state)
-        )
-        return (x, opt_state), transform_fn(x)
+        state = (x0, init_state(x0, history_size))
 
-    state = (x0, opt.init(x0))
     state = iterate(
         outer_step,
         state,
@@ -121,9 +163,11 @@ def L_BFGS(
     seed: int = 0,
     lr: float = 1.0,
     max_iter: int = 20,
+    max_eval: Optional[int] = None,
+    tolerance_grad: float = 1e-7,
+    tolerance_change: float = 1e-9,
     history_size: int = 100,
     line_search_fn: Optional[str] = None,
-    **_ignored: Any,
 ):
     """Reference-parity entry point (methods.py:509-569).
 
@@ -131,6 +175,16 @@ def L_BFGS(
     shape ``samples`` to a representation comparable with ``spec``.  When
     ``init_x0`` is absent the waveform is initialized from
     ``N(0, 1e-6)`` using ``seed`` (the reference uses torch's global RNG).
+
+    ``outer_max_iter`` counts outer driver steps (reference methods.py:509);
+    the optimizer kwargs (``lr`` .. ``line_search_fn``) carry
+    ``torch.optim.LBFGS`` semantics — ``max_iter`` is the INNER iteration
+    count per outer step (torch default 20) and ``max_eval`` defaults to
+    ``max_iter * 5 // 4``, both exactly as the reference's raw kwarg
+    forwarding at methods.py:543 yields.  The fixed-step path
+    (``line_search_fn=None``) is trajectory-exact against torch, including
+    all termination criteria.  Unknown kwargs raise ``TypeError``, as
+    torch's constructor would.
     """
     target = as_array(spec)
     if init_x0 is None:
@@ -147,6 +201,8 @@ def L_BFGS(
 
     if line_search_fn not in (None, "strong_wolfe"):
         raise ValueError(f"unsupported line_search_fn {line_search_fn!r}")
+    if max_eval is None:
+        max_eval = max_iter * 5 // 4  # torch.optim.LBFGS default
 
     return run(
         target,
@@ -158,6 +214,9 @@ def L_BFGS(
         history_size=history_size,
         line_search=line_search_fn == "strong_wolfe",
         lr=lr,
+        max_eval=max_eval,
+        tolerance_grad=tolerance_grad,
+        tolerance_change=tolerance_change,
         eva_iter=eva_iter,
         metric=metric,
         verbose=verbose,

@@ -32,9 +32,23 @@ from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.framing import frame, overlap_add
 from ..ops.stft import make_envelope
+from ..utils.runner import gate_verbose
 from .common import as_array as common_as_array
 from .common import prepare_spec, restore_output
 from .griffin_lim import PROJ_EPS
+
+
+def _default_progress(msg: str) -> None:
+    print(msg, flush=True)
+
+
+# Late-bound progress sink: tests (or embedding applications) may swap this
+# for a collector.  Looked up by name at callback time, not trace time.
+_progress_sink = _default_progress
+
+
+def _report_progress(msg: str) -> None:
+    _progress_sink(msg)
 
 
 class RTISIState(NamedTuple):
@@ -206,8 +220,19 @@ def run_tm(
             max_iter=max_iter, backend=backend,
         )
         if verbose:
-            jax.debug.callback(
-                lambda i_: print(f"rtisi-la frame {int(i_) + 1}/{steps + la}"), i
+            # Chunked, unordered host callback: reports every `every` frames
+            # (≤ ~16 reports per run) without serializing the scan — the
+            # reference's per-frame tqdm equivalent (methods.py:362,400).
+            total = steps + la
+            every = max(1, total // 16)
+
+            def _cb(i_):
+                _report_progress(f"rtisi-la frame {int(i_) + 1}/{total}")
+
+            jax.lax.cond(
+                jnp.logical_or((i + 1) % every == 0, i + 1 == total),
+                lambda: jax.debug.callback(_cb, i, ordered=False),
+                lambda: None,
             )
         return new_state, committed
 
@@ -270,7 +295,7 @@ def RTISI_LA(
         look_ahead=la,
         asymmetric_window=asymmetric_window,
         max_iter=max_iter,
-        verbose=False,  # per-frame host prints would serialize the scan
+        verbose=gate_verbose(verbose),
         backend=backend,
     )
     return restore_output(x, was_2d)

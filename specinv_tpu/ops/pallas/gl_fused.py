@@ -105,38 +105,63 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _dot3_pre(a_hi, a_lo, b_f32, contract):
-    """bf16x3 dot with the first operand already split (cached hi/lo)."""
-    bh, bl = _split_bf16(b_f32)
+# In-kernel dot schemes (Mosaic has no HIGH lowering, so multi-pass bf16 is
+# emulated by hand).  Strings are accepted anywhere a lax.Precision is:
+#   HIGH      — 3-pass bf16: ah@bh + ah@bl + al@bh (~16 mantissa bits both sides)
+#   'bf16x2'  — 2-pass, keeps the DFT-matrix low bits: ah@bh + ah@bl
+#   'bf16x2t' — 2-pass, keeps the data low bits:       ah@bh + al@bh
+_SPLIT_SCHEMES = (jax.lax.Precision.HIGH, "bf16x2", "bf16x2t")
+
+
+def needs_lo(scheme) -> bool:
+    """Whether the scheme consumes the data operand's low bf16 half."""
+    return scheme in (jax.lax.Precision.HIGH, "bf16x2t")
+
+
+def _dot3_pre(a_hi, a_lo, b_f32, contract, scheme=jax.lax.Precision.HIGH):
+    """Multi-pass bf16 dot with the data operand already split (cached hi/lo).
+
+    ``a_lo`` may be None for schemes that don't consume it ('bf16x2').
+    """
     d = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=contract,
         preferred_element_type=jnp.float32,
     )
+    if scheme == "bf16x2t":
+        bh = b_f32.astype(jnp.bfloat16)
+        return d(a_hi, bh) + d(a_lo, bh)
+    bh, bl = _split_bf16(b_f32)
+    if scheme == "bf16x2":
+        return d(a_hi, bh) + d(a_hi, bl)
     return d(a_hi, bh) + d(a_hi, bl) + d(a_lo, bh)
 
 
 def _dot3(a_f32, b_f32, contract, precision):
-    """MXU dot at the requested effective precision.
+    """MXU dot at the requested effective precision/scheme.
 
-    HIGHEST lowers natively (6-pass).  Mosaic has no HIGH lowering, so the
-    3-pass bf16 scheme is emulated: a@b ~= ah@bh + ah@bl + al@bh with f32
-    accumulation — measured 1.6x faster than HIGHEST at GL-indistinguishable
-    quality (benchmarks.md).
+    HIGHEST lowers natively (6-pass).  HIGH (3-pass bf16) measured 1.6x faster
+    than HIGHEST at GL-indistinguishable quality; the 2-pass schemes shave
+    another third off the MXU time (see benchmarks.md for the quality study).
     """
-    if precision == jax.lax.Precision.HIGH:
-        ah, al = _split_bf16(a_f32)
-        bh, bl = _split_bf16(b_f32)
-        d = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=contract,
-            preferred_element_type=jnp.float32,
+    if precision in _SPLIT_SCHEMES:
+        ah, al = _split_bf16(a_f32) if needs_lo(precision) else (
+            a_f32.astype(jnp.bfloat16), None,
         )
-        return d(ah, bh) + d(ah, bl) + d(al, bh)
+        return _dot3_pre(ah, al, b_f32, contract, precision)
     return jax.lax.dot_general(
         a_f32, b_f32, contract,
         preferred_element_type=jnp.float32, precision=precision,
     )
+
+
+def split_schemes(precision):
+    """Normalize a precision spec to ``(fwd, inv)`` per-direction schemes."""
+    if isinstance(precision, tuple):
+        fwd, inv = precision
+    else:
+        fwd = inv = precision
+    return fwd, inv
 
 
 @functools.lru_cache(maxsize=16)
@@ -192,7 +217,8 @@ def _kernel(
     pad_mode: str,
     p_amt: int,
     e: int,
-    precision,
+    fwd_p,
+    inv_p,
 ):
     t = pl.program_id(1)
     f = pl.program_id(2)
@@ -225,24 +251,26 @@ def _kernel(
 
             jax.lax.fori_loop(0, block_t, body, 0)
         acc_s[...] = jnp.zeros_like(acc_s)
-        if precision == jax.lax.Precision.HIGH:
+        if fwd_p in _SPLIT_SCHEMES:
             # Split the frame block once; every f step reuses the cached
             # bf16 hi/lo pair instead of re-decomposing 3.7 MB of operand.
             fr = frames_s[...]
             hi = fr.astype(jnp.bfloat16)
             fhi_s[...] = hi
-            flo_s[...] = (fr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            if needs_lo(fwd_p):
+                flo_s[...] = (fr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     frames = frames_s[...]
     # Single-pass bf16 visibly stalls Griffin-Lim convergence (-17 dB vs
     # -28 dB @ 100 it); HIGH (emulated bf16x3) matches HIGHEST to ~2e-4 dB.
     fwd_contract = (((1,), (0,)), ((), ()))
-    if precision == jax.lax.Precision.HIGH:
-        s_re = _dot3_pre(fhi_s[...], flo_s[...], cos_ref[...], fwd_contract)
-        s_im = -_dot3_pre(fhi_s[...], flo_s[...], sin_ref[...], fwd_contract)
+    if fwd_p in _SPLIT_SCHEMES:
+        flo = flo_s[...] if needs_lo(fwd_p) else None
+        s_re = _dot3_pre(fhi_s[...], flo, cos_ref[...], fwd_contract, fwd_p)
+        s_im = -_dot3_pre(fhi_s[...], flo, sin_ref[...], fwd_contract, fwd_p)
     else:
-        s_re = _dot3(frames, cos_ref[...], fwd_contract, precision)
-        s_im = -_dot3(frames, sin_ref[...], fwd_contract, precision)
+        s_re = _dot3(frames, cos_ref[...], fwd_contract, fwd_p)
+        s_im = -_dot3(frames, sin_ref[...], fwd_contract, fwd_p)
 
     mag_ref[0] = jnp.sqrt(s_re * s_re + s_im * s_im)  # pre-momentum |S|
 
@@ -260,8 +288,8 @@ def _kernel(
     # Inverse DFT partial sum via the transposed forward matrices:
     # frames += P_re @ C^T - P_im @ (-S)^T  (sin sign folded: iDFT real part)
     contract = (((1,), (1,)), ((), ()))
-    acc_s[...] += _dot3(p_re, cos_ref[...], contract, precision) - _dot3(
-        p_im, sin_ref[...], contract, precision
+    acc_s[...] += _dot3(p_re, cos_ref[...], contract, inv_p) - _dot3(
+        p_im, sin_ref[...], contract, inv_p
     )
 
     @pl.when(f == n_f - 1)
@@ -344,9 +372,10 @@ def fused_gl_iteration(
     else:
         jrev = np.zeros((8, LANE), np.float32)  # unused dummy
 
+    fwd_p, inv_p = split_schemes(precision)
     kernel = functools.partial(
         _kernel, block_t=block_t, n_fft=n_fft, hop=hop,
-        pad_mode=pad_mode, p_amt=p_amt, e=e, precision=precision,
+        pad_mode=pad_mode, p_amt=p_amt, e=e, fwd_p=fwd_p, inv_p=inv_p,
     )
     grid = (B, n_t, n_f)
 

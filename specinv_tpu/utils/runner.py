@@ -42,6 +42,36 @@ def _progress_print(i, metric_name, metric_val, loss):
     print(f"iter {int(i) + 1}: {metric_name}={float(metric_val):.4f} loss={float(loss):.3e}")
 
 
+def host_callbacks_supported() -> bool:
+    """Whether the active backend can run host callbacks.
+
+    Tunneled PJRT backends (e.g. axon, which masquerades as platform 'tpu')
+    raise UNIMPLEMENTED on any host send/recv (``jax.debug.callback`` &
+    friends); real TPU / CPU / GPU platforms support them.  Progress
+    reporting degrades to silent there.
+    """
+    try:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:  # pragma: no cover - no devices at all
+        return True
+    return "axon" not in version
+
+
+def gate_verbose(verbose: bool) -> bool:
+    """Downgrade ``verbose`` (with a one-time warning) on backends that
+    cannot run host callbacks."""
+    if verbose and not host_callbacks_supported():
+        import warnings
+
+        warnings.warn(
+            "progress reporting disabled: this backend does not support "
+            "host callbacks (jax.debug.callback)",
+            stacklevel=3,
+        )
+        return False
+    return bool(verbose)
+
+
 def iterate(
     step_fn: StepFn,
     state,
@@ -65,6 +95,7 @@ def iterate(
     by the sequence-parallel path to psum the loss across mesh shards.
     """
     assert eva_iter > 0 and max_iter > 0
+    verbose = gate_verbose(verbose)
     metric_fn = get_metric(metric)
     if loss_fn is None:
         loss_fn = _mse

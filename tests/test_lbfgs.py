@@ -64,6 +64,81 @@ def test_requires_samples_or_x0():
         L_BFGS(jnp.zeros((129, 10)), fn, verbose=False)
 
 
+def _power_spec_pair(n=256, n_fft=64, n_freq=33, dtype=np.float64):
+    """The same differentiable transform in jax and torch, bit-identical math:
+    non-overlapping frames -> DFT via shared numpy matrices -> power spectrum.
+    Smooth everywhere (no |.| kink), so trajectories are comparable."""
+    import torch
+
+    k = np.arange(n_freq)[None, :]
+    t = np.arange(n_fft)[:, None]
+    C = np.cos(2 * np.pi * t * k / n_fft).astype(dtype)
+    S = np.sin(2 * np.pi * t * k / n_fft).astype(dtype)
+    Cj, Sj = jnp.asarray(C), jnp.asarray(S)
+    Ct, St = torch.from_numpy(C), torch.from_numpy(S)
+    frames = n // n_fft
+
+    def fn_jax(x):
+        z = x.reshape(frames, n_fft)
+        return (z @ Cj) ** 2 + (z @ Sj) ** 2
+
+    def fn_torch(x):
+        z = x.reshape(frames, n_fft)
+        return (z @ Ct) ** 2 + (z @ St) ** 2
+
+    return fn_jax, fn_torch
+
+
+@pytest.mark.parametrize(
+    "lbfgs_kwargs",
+    [
+        {},
+        {"lr": 0.3, "history_size": 3},
+        {"max_eval": 5},
+        {"tolerance_change": 1e-2},
+        {"tolerance_grad": 1e-3},
+    ],
+    ids=["defaults", "lr-hist", "max_eval", "tol_change", "tol_grad"],
+)
+def test_torch_trajectory_parity(lbfgs_kwargs):
+    """Golden trajectory vs torch.optim.LBFGS (line_search_fn=None is fully
+    deterministic): the fixed-step path must reproduce torch's update rule AND
+    its termination criteria (max_eval / tolerance_grad / tolerance_change),
+    which the reference forwards raw at methods.py:543."""
+    import torch
+
+    from torch_specinv.methods import L_BFGS as ref_lbfgs
+
+    n = 256
+    rng = np.random.default_rng(42)
+    x_true = rng.standard_normal(n)
+    x0 = 0.5 * x_true + 0.1 * rng.standard_normal(n)
+    fn_jax, fn_torch = _power_spec_pair(n=n)
+
+    spec_t = fn_torch(torch.from_numpy(x_true))
+    y_ref = ref_lbfgs(
+        spec_t, fn_torch, init_x0=torch.from_numpy(x0.copy()),
+        outer_max_iter=2, tol=0.0, verbose=False, **lbfgs_kwargs,
+    ).detach().numpy()
+
+    spec_j = fn_jax(jnp.asarray(x_true))
+    # inner max_iter stays at torch's default 20 on both sides; the kwargs
+    # exercise the forwarded torch.optim.LBFGS surface
+    y = np.asarray(
+        L_BFGS(
+            spec_j, fn_jax, init_x0=jnp.asarray(x0), outer_max_iter=2,
+            tol=0.0, verbose=False, **lbfgs_kwargs,
+        )
+    )
+    np.testing.assert_allclose(y, y_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_unknown_kwargs_raise():
+    fn = _stft_mag_fn(256)
+    with pytest.raises(TypeError):
+        L_BFGS(jnp.zeros((129, 10)), fn, samples=(2048,), bogus_option=3)
+
+
 def test_log_mel_inversion():
     """BASELINE config 4: invert a log-mel spectrogram (quality smoke)."""
     from specinv_tpu.ops.mel import log_mel_transform

@@ -186,3 +186,28 @@ def test_streamer_latency_and_shapes():
     assert outs[2] is not None and outs[2].shape == (1, hop)
     tail = st.flush()
     assert tail.shape[0] == 1 and tail.shape[1] > 0
+
+
+def test_verbose_reports_progress(monkeypatch):
+    """VERDICT r1 item 7: verbose must actually report (chunked host callback),
+    without serializing the scan."""
+    import jax
+
+    import importlib
+
+    from specinv_tpu import RTISI_LA
+
+    # the package attribute `models.rtisi_la` is shadowed by the function
+    # alias; fetch the module object itself
+    mod = importlib.import_module("specinv_tpu.models.rtisi_la")
+
+    msgs = []
+    monkeypatch.setattr(mod, "_progress_sink", msgs.append)
+    spec = np.abs(make_signal((129, 12), np.float32))
+    y = RTISI_LA(spec, look_ahead=1, max_iter=2, verbose=True)
+    np.asarray(y)
+    jax.effects_barrier()
+    assert msgs, "verbose=True produced no progress reports"
+    assert all("rtisi-la frame" in m for m in msgs)
+    # last report covers the final frame
+    assert msgs[-1].endswith(f"/{12 + 1}")
