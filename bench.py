@@ -175,7 +175,7 @@ def main():
         return time.perf_counter() - t0
 
     results, marginal = {}, {}
-    for backend in ("fft", "matmul", "pallas"):
+    for backend in ("fft", "matmul", "pallas", "pallas4"):
         for attempt in range(2):  # axon RPC occasionally drops a compile
             try:
                 t100 = min(timed(backend, ITERS) for _ in range(2))

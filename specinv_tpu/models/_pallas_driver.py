@@ -46,6 +46,22 @@ def make_geometry(cfg: STFTConfig, T: int, F: int) -> PaddedGeometry:
     )
 
 
+def make_geometry4(cfg: STFTConfig, T: int, block_t: int = 128) -> PaddedGeometry:
+    """Geometry for the four-step kernels: no frequency padding (the full
+    permuted spectrum is (n_fft//128, 128)); time blocked at ``block_t``."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    p_amt = cfg.pad_amount
+    block_t = min(block_t, -(-T // 64) * 64)
+    t_pad = -(-T // block_t) * block_t
+    lx = (t_pad - 1) * hop + n_fft
+    lp = (T - 1) * hop + n_fft
+    l_out = lp - 2 * p_amt
+    return PaddedGeometry(
+        f_pad=n_fft, t_pad=t_pad, block_t=block_t, lx=lx, lp=lp,
+        l_out=l_out, p_amt=p_amt, e=p_amt + l_out - 1,
+    )
+
+
 def make_inv_env(cfg: STFTConfig, window: jnp.ndarray, T: int, geo: PaddedGeometry):
     """``interior_mask / window^2-envelope`` multiplier, length ``lx``."""
     env = ola_envelope(window * window, T, cfg.hop_length)
@@ -125,6 +141,44 @@ def gl_xla_twin(
     fr = jax.lax.dot_general(
         s_re * gain, cos, contract, precision=hi
     ) - jax.lax.dot_general(s_im * gain, sin, contract, precision=hi)
+    y = overlap_add(fr * window, hop) * inv_env
+    y = repad_edges(y, cfg, geo)
+    return (y, s_re, s_im), mag
+
+
+def gl_xla_twin4(
+    state, target_p, window, inv_env, lr, cfg: STFTConfig, geo: PaddedGeometry,
+    precision=None,
+):
+    """XLA re-statement of the four-step fused GL kernel's math (permuted
+    full-spectrum state) — the backward rule for its custom_vjp."""
+    import jax
+
+    from ..ops.framing import frame, overlap_add
+    from ..ops.pallas import fft4
+    from ..ops.pallas.gl_fused import PROJ_EPS
+
+    x_pad, pre_re, pre_im = state
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    m = n_fft // 128
+    hi = precision or jax.lax.Precision.HIGHEST
+    t = fft4.tables_as_jnp(cfg.n_fft, cfg.normalized)
+
+    frames = frame(x_pad, n_fft, hop) * window        # (B, t_pad, n_fft)
+    B, tp, _ = frames.shape
+    s_re, s_im = fft4.fwd4(frames.reshape(B * tp, n_fft), t, hi)
+    s_re = s_re.reshape(B, tp, m, 128)
+    s_im = s_im.reshape(B, tp, m, 128)
+    mag = jnp.sqrt(s_re * s_re + s_im * s_im + 1e-30)
+    s_re = s_re - lr * pre_re
+    s_im = s_im - lr * pre_im
+    norm = jnp.sqrt(s_re * s_re + s_im * s_im + 1e-30) + PROJ_EPS
+    gain = target_p / norm
+    fr = fft4.inv4_real(
+        (s_re * gain).reshape(B * tp, m, 128),
+        (s_im * gain).reshape(B * tp, m, 128),
+        t, hi,
+    ).reshape(B, tp, n_fft)
     y = overlap_add(fr * window, hop) * inv_env
     y = repad_edges(y, cfg, geo)
     return (y, s_re, s_im), mag

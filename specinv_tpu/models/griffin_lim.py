@@ -230,6 +230,173 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision"),
+)
+def run_tm_pallas4(
+    target_tm: jnp.ndarray,
+    init_spec_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    lr: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    max_iter: int = 200,
+    eva_iter: int = 10,
+    metric: str = "sc",
+    verbose: bool = False,
+    block_t: int = 64,
+    interpret: bool = False,
+    early_stop: bool = True,
+    precision=None,
+) -> jnp.ndarray:
+    """Griffin-Lim driven by the four-step fused kernel (ops/pallas/gl_fused4).
+
+    The iteration runs in Hermitian-extended full-spectrum space, permuted
+    (c, d) layout — mathematically identical to the onesided iteration
+    (scripts/proto_fourstep.py) at ~7x fewer MXU MACs than run_tm_pallas.
+    Reverse-mode differentiates the XLA twin (gl_xla_twin4).
+    """
+    from ..ops.framing import pad_center
+    from ..ops.pallas import fft4
+    from ..ops.pallas.gl_fused4 import fused_gl_iteration4
+    from ._pallas_driver import gl_xla_twin4, make_geometry4, make_inv_env
+
+    if precision is None:
+        precision = fourier.default_precision()
+    B, T, F = target_tm.shape
+    n_fft = cfg.n_fft
+    geo = make_geometry4(cfg, T, block_t=block_t)
+    inv_env = make_inv_env(cfg, window, T, geo)
+
+    if cfg.onesided:
+        tgt_full = fft4.extend_hermitian_mag(target_tm.astype(jnp.float32), n_fft)
+        spec_full = fft4.extend_hermitian_spec(init_spec_tm, n_fft)
+    else:
+        tgt_full = target_tm.astype(jnp.float32)
+        spec_full = init_spec_tm
+
+    def pad_rows(a):
+        return jnp.pad(a, ((0, 0), (0, geo.t_pad - T), (0, 0)))
+
+    target_p = fft4.to_permuted(pad_rows(tgt_full), n_fft)
+    pre0_re = fft4.to_permuted(pad_rows(spec_full.real.astype(jnp.float32)), n_fft)
+    pre0_im = fft4.to_permuted(pad_rows(spec_full.imag.astype(jnp.float32)), n_fft)
+
+    x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
+    x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
+
+    with_mag = bool(early_stop or verbose)
+    twin_precision = (
+        precision if isinstance(precision, jax.lax.Precision)
+        else jax.lax.Precision.HIGHEST
+    )
+
+    @jax.custom_vjp
+    def one_iter(state, tgt, win, env, lr_):
+        x_pad, pre_re, pre_im = state
+        x_pad, mag, pre_re, pre_im = fused_gl_iteration4(
+            x_pad, pre_re, pre_im, tgt, win, env, lr_, cfg,
+            e=geo.e, block_t=geo.block_t, interpret=interpret,
+            precision=precision, with_mag=with_mag,
+        )
+        if mag is None:
+            mag = jnp.zeros((), jnp.float32)
+        return (x_pad, pre_re, pre_im), mag
+
+    def one_iter_fwd(state, tgt, win, env, lr_):
+        out = one_iter(state, tgt, win, env, lr_)
+        return out, (state, tgt, win, env, lr_)
+
+    def one_iter_bwd(residuals, cotangents):
+        state, tgt, win, env, lr_ = residuals
+        _, vjp = jax.vjp(
+            lambda s, t, w_, e_, l_: gl_xla_twin4(
+                s, t, w_, e_, l_, cfg, geo, precision=twin_precision
+            ),
+            state, tgt, win, env, lr_,
+        )
+        if not with_mag:
+            # twin returns the (B, t_pad, 128, m) magnitude; the kernel path
+            # returned a scalar dummy — discard its cotangent shape-safely
+            st_ct, _ = cotangents
+            zero_mag = jnp.zeros((B, geo.t_pad, n_fft // 128, 128), jnp.float32)
+            cotangents = (st_ct, zero_mag)
+        return vjp(cotangents)
+
+    one_iter.defvjp(one_iter_fwd, one_iter_bwd)
+
+    def step(state):
+        state, mag = one_iter(
+            state, target_p, window.astype(jnp.float32), inv_env, lr
+        )
+        if with_mag:
+            mag = fft4.from_permuted(mag, n_fft)[:, :T, :F]
+        return state, mag
+
+    if not with_mag:
+        # tol == 0 / no progress reporting: the whole run in ONE Pallas
+        # launch (grid over iterations, state resident in VMEM — zero
+        # per-iteration HBM traffic).  Reverse-mode differentiates a
+        # lax.scan of the XLA twin, storing one residual set per iteration,
+        # exactly the memory profile torch autograd would have.
+        from ..ops.pallas.gl_fullrun4 import fused_gl_run
+
+        @jax.custom_vjp
+        def full_run(state0, tgt, win, env, lr_):
+            x_pad0_, pre_re0_, pre_im0_ = state0
+            return fused_gl_run(
+                x_pad0_, pre_re0_, pre_im0_, tgt, win, env, lr_, cfg,
+                e=geo.e, n_iters=max_iter, block_t=geo.block_t,
+                interpret=interpret, precision=precision,
+            )
+
+        def full_run_fwd(state0, tgt, win, env, lr_):
+            return full_run(state0, tgt, win, env, lr_), (
+                state0, tgt, win, env, lr_,
+            )
+
+        def full_run_bwd(residuals, ct_x):
+            state0, tgt, win, env, lr_ = residuals
+
+            def replay(state0_, tgt_, win_, env_, lr__):
+                def body(st, _):
+                    st2, _mag = gl_xla_twin4(
+                        st, tgt_, win_, env_, lr__, cfg, geo,
+                        precision=twin_precision,
+                    )
+                    return st2, None
+
+                st_n, _ = jax.lax.scan(body, state0_, None, length=max_iter)
+                return st_n[0]
+
+            _, vjp = jax.vjp(replay, state0, tgt, win, env, lr_)
+            return vjp(ct_x)
+
+        full_run.defvjp(full_run_fwd, full_run_bwd)
+
+        x_pad = full_run(
+            (x_pad0, pre0_re, pre0_im), target_p,
+            window.astype(jnp.float32), inv_env, lr,
+        )
+        return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
+
+    state = iterate(
+        step,
+        (x_pad0, pre0_re, pre0_im),
+        target_tm.astype(jnp.float32),
+        max_iter=max_iter,
+        tol=tol,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode="fori",
+        early_stop=early_stop,
+    )
+    x_pad = state[0]
+    return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
         "interpret", "early_stop", "precision",
@@ -258,6 +425,22 @@ def _full_run(
         cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
     else:
         cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    if backend == "pallas4":
+        return run_tm_pallas4.__wrapped__(
+            target_tm,
+            cmplx_tm,
+            window,
+            lr.astype(jnp.float32),
+            tol.astype(jnp.float32),
+            cfg,
+            max_iter=max_iter,
+            eva_iter=eva_iter,
+            metric=metric,
+            verbose=verbose,
+            interpret=interpret,
+            early_stop=early_stop,
+            precision=precision,
+        )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
             target_tm,
@@ -319,14 +502,22 @@ def griffin_lim(
     """
     assert alpha >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
-    from ..ops.pallas import gl_fused
+    from ..ops.pallas import gl_fused, gl_fused4
 
     if backend == "auto" and jax.default_backend() not in ("cpu",):
-        # The fused kernel is the fastest path and (via the XLA-twin
-        # custom_vjp) fully differentiable — make it the TPU default where
-        # the config allows.
-        if gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
+        # The fused four-step kernel is the fastest path and (via the
+        # XLA-twin custom_vjp) fully differentiable — make it the TPU
+        # default where the config allows; fall back to the direct-DFT
+        # fused kernel, then to XLA.
+        if gl_fused4.supports(cfg, window):
+            backend = "pallas4"
+        elif gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
             backend = "pallas"
+    if backend == "pallas4" and not gl_fused4.supports(cfg, window):
+        raise ValueError(
+            "pallas4 backend requires n_fft % 128 == 0, hop % 128 == 0, "
+            "real window; use backend='auto' instead"
+        )
     if backend == "pallas":
         if not gl_fused.supports(cfg, window):
             raise ValueError(

@@ -64,8 +64,8 @@ def phase_init_tm(spec_tm: jnp.ndarray, cfg: STFTConfig) -> jnp.ndarray:
         jnp.where(shift_up(mask), shift_up(omega), omega),
     )
     phase = jnp.cumsum(increment, axis=-2)  # over time
-    if phase.dtype == jnp.bfloat16:
-        phase = phase.astype(jnp.float32)  # lax.complex rejects bf16
+    if phase.dtype in (jnp.bfloat16, jnp.float16):
+        phase = phase.astype(jnp.float32)  # lax.complex rejects bf16/fp16
         s = s.astype(jnp.float32)
     return s * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 

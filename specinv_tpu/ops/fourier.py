@@ -135,8 +135,8 @@ def forward(
         if cfg.onesided:
             return jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1, norm=cfg.fft_norm)
         return jnp.fft.fft(frames, n=cfg.n_fft, axis=-1, norm=cfg.fft_norm)
-    if frames.dtype == jnp.bfloat16:
-        # complex64 is the only complex carrier; lax.complex rejects bf16.
+    if frames.dtype in (jnp.bfloat16, jnp.float16):
+        # complex64 is the only complex carrier; lax.complex rejects bf16/fp16.
         frames = frames.astype(jnp.float32)
     cos, sin = _forward_matrices(
         cfg.n_fft, cfg.onesided, cfg.normalized, _real_dtype(frames.dtype)

@@ -1,0 +1,265 @@
+"""Whole-run fused Griffin-Lim: ALL iterations in one Pallas launch.
+
+The per-iteration kernels (:mod:`.gl_fused`, :mod:`.gl_fused4`) pass the
+signal and the momentum spectrum through HBM between iterations (~20 MB/iter
+at the north-star config) and pay a kernel dispatch per iteration.  Here the
+iteration count becomes a grid dimension — ``grid = (B, n_iters, n_t)`` —
+and the whole algorithm state lives in VMEM scratch for the entire run:
+
+  * the signal is double-buffered ``(2, Lx)`` (framing reads the previous
+    iteration's slab while overlap-add accumulates into the other; the
+    parity of the iteration index selects the roles);
+  * the momentum spectrum ``(t_pad, m, 128)`` is updated in place per
+    time-block;
+  * the target magnitude, window, envelope and DFT tables are DMA'd once
+    per clip (constant block index) and stay resident.
+
+HBM I/O for a whole 100-iteration run: the inputs once + the final signal
+once.  Fixed iteration count: this is the ``tol == 0`` / early-stop-off fast
+path; the early-stopping and metric-reporting paths keep using the
+per-iteration kernel.  Transform math = :mod:`.fft4` (four-step matmul-FFT),
+identical numerics to gl_fused4.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import STFTConfig
+from . import fft4
+from .gl_fused import LANE, PROJ_EPS, _anti_identity, split_schemes
+
+TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
+
+
+def _repad_slab(x_s, wr, jrev_ref, pad_mode: str, p_amt: int, e: int):
+    """Edge re-pad of the (1, Lx) slab ``wr`` of the double buffer."""
+    if not p_amt or pad_mode == "constant":
+        return
+    row = pl.ds(wr, 1)
+    if pad_mode == "reflect":
+        left_src = x_s[row, pl.ds(p_amt + 1, p_amt)]
+        right_src = x_s[row, pl.ds(e - p_amt, p_amt)]
+        jm = jrev_ref[...]
+        left = jnp.dot(
+            left_src, jm, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        right = jnp.dot(
+            right_src, jm, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    elif pad_mode == "edge":
+        left = jnp.broadcast_to(x_s[row, pl.ds(p_amt, 1)], (1, p_amt))
+        right = jnp.broadcast_to(x_s[row, pl.ds(e, 1)], (1, p_amt))
+    else:  # wrap / circular
+        left = x_s[row, pl.ds(e - p_amt + 1, p_amt)]
+        right = x_s[row, pl.ds(p_amt, p_amt)]
+    x_s[row, pl.ds(0, p_amt)] = left
+    x_s[row, pl.ds(e + 1, p_amt)] = right
+
+
+def _kernel(
+    lr_ref,        # SMEM (1, 1)
+    x0_ref,        # (1, 1, Lx)
+    tgt_ref,       # (1, t_pad, m, 128)
+    pre0_re_ref,   # (1, t_pad, m, 128)
+    pre0_im_ref,   # (1, t_pad, m, 128)
+    *rest,
+    block_t: int,
+    n_fft: int,
+    hop: int,
+    pad_mode: str,
+    p_amt: int,
+    e: int,
+    fwd_p,
+    inv_p,
+    np_tables,
+    n_iters: int,
+):
+    ntab = len(TABLE_KEYS)
+    tab_refs = rest[:ntab]
+    win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
+    x_out_ref = rest[ntab + 3]
+    x_s, pre_re_s, pre_im_s, frames_s = rest[ntab + 4 :]
+
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    n_t = pl.num_programs(2)
+    rd = jax.lax.rem(i, jnp.int32(2))  # literal pinned: tests run with x64
+    wr = 1 - rd
+    window = win_ref[0, :]
+    tables = dict(np_tables)
+    tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _init_x():
+        x_s[pl.ds(0, 1), :] = x0_ref[0]
+
+    @pl.when(i == 0)
+    def _init_pre():
+        sl = pl.ds(t * block_t, block_t)
+        pre_re_s[sl] = pre0_re_ref[0, sl]
+        pre_im_s[sl] = pre0_im_ref[0, sl]
+
+    @pl.when(t == 0)
+    def _zero_write_slab():
+        x_s[pl.ds(wr, 1), :] = jnp.zeros((1, x_s.shape[1]), jnp.float32)
+
+    # --- framing from the read slab
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            seg = x_s[
+                pl.ds(rd, 1), pl.ds((t * block_t + j) * hop, block_t * hop)
+            ].reshape(block_t, hop)
+            frames_s[:, j * hop : (j + 1) * hop] = (
+                seg * window[j * hop : (j + 1) * hop]
+            )
+    else:
+        def body(tl, _):
+            start = (t * block_t + tl) * hop
+            frames_s[tl, :] = x_s[
+                pl.ds(rd, 1), pl.ds(start, n_fft)
+            ].reshape(n_fft) * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body, 0)
+
+    # --- one GL iteration for this time-block
+    s_re, s_im = fft4.fwd4(frames_s[...], tables, fwd_p)
+    sl = pl.ds(t * block_t, block_t)
+    lr = lr_ref[0, 0]
+    s_re = s_re - lr * pre_re_s[sl]
+    s_im = s_im - lr * pre_im_s[sl]
+    pre_re_s[sl] = s_re
+    pre_im_s[sl] = s_im
+    norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
+    gain = tgt_ref[0, sl] / norm
+    fr = fft4.inv4_real(s_re * gain, s_im * gain, tables, inv_p)
+
+    # --- overlap-add into the write slab
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            start = (t * block_t + j) * hop
+            idx = (pl.ds(wr, 1), pl.ds(start, block_t * hop))
+            cur = x_s[idx].reshape(block_t, hop)
+            add = fr[:, j * hop : (j + 1) * hop] * window[
+                j * hop : (j + 1) * hop
+            ]
+            x_s[idx] = (cur + add).reshape(1, block_t * hop)
+    else:
+        def body_o(tl, _):
+            start = (t * block_t + tl) * hop
+            idx = (pl.ds(wr, 1), pl.ds(start, n_fft))
+            cur = x_s[idx].reshape(n_fft)
+            x_s[idx] = (cur + fr[tl, :] * window).reshape(1, n_fft)
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body_o, 0)
+
+    @pl.when(t == n_t - 1)
+    def _normalize():
+        idx = (pl.ds(wr, 1), slice(None))
+        x_s[idx] = x_s[idx] * inv_env_ref[0]
+        _repad_slab(x_s, wr, jrev_ref, pad_mode, p_amt, e)
+
+    @pl.when(jnp.logical_and(i == n_iters - 1, t == n_t - 1))
+    def _emit():
+        x_out_ref[0] = x_s[pl.ds(wr, 1), :]
+
+
+def fused_gl_run(
+    x_pad: jnp.ndarray,      # (B, Lx) float32, padded coords
+    pre_re: jnp.ndarray,     # (B, t_pad, m, 128)
+    pre_im: jnp.ndarray,
+    target: jnp.ndarray,     # (B, t_pad, m, 128)
+    window: jnp.ndarray,
+    inv_env: jnp.ndarray,    # (Lx,)
+    lr: jnp.ndarray,
+    cfg: STFTConfig,
+    e: int,
+    n_iters: int,
+    block_t: int = 64,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGH,
+):
+    """Run ``n_iters`` fused GL iterations in one launch -> final x_pad (B, Lx)."""
+    B, t_pad, m, lanes = target.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    assert lanes == LANE and m == n_fft // LANE
+    assert t_pad % block_t == 0
+    lx = x_pad.shape[-1]
+    assert lx == (t_pad - 1) * hop + n_fft
+
+    tables = fft4.fourstep_tables(n_fft, cfg.normalized)
+    np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
+    n_t = t_pad // block_t
+    p_amt = cfg.pad_amount
+    pad_mode = cfg.jnp_pad_mode
+    if p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)
+    else:
+        jrev = np.zeros((8, LANE), np.float32)
+
+    fwd_p, inv_p = split_schemes(precision)
+    kernel = functools.partial(
+        _kernel, block_t=block_t, n_fft=n_fft, hop=hop,
+        pad_mode=pad_mode, p_amt=p_amt, e=e,
+        fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, n_iters=n_iters,
+    )
+    grid = (B, n_iters, n_t)
+    whole = lambda b, i, t: (b, 0, 0, 0)  # noqa: E731
+    sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (b, 0, 0))
+    const_sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (0, 0, 0))
+    blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
+
+    macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # lr
+            sig,                                                 # x0
+            blk, blk, blk,                                       # tgt, pre0
+            *[
+                pl.BlockSpec(tables[k].shape, lambda b, i, t: (0, 0))
+                for k in TABLE_KEYS
+            ],
+            pl.BlockSpec((1, n_fft), lambda b, i, t: (0, 0)),    # window
+            const_sig,                                           # inv_env
+            pl.BlockSpec(jrev.shape, lambda b, i, t: (0, 0)),    # jrev
+        ],
+        out_specs=[sig],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, lx), jnp.float32),
+            pltpu.VMEM((t_pad, m, LANE), jnp.float32),
+            pltpu.VMEM((t_pad, m, LANE), jnp.float32),
+            pltpu.VMEM((block_t, n_fft), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_iters * t_pad * macs_frame,
+            bytes_accessed=4 * (2 * B * lx + 3 * B * t_pad * n_fft),
+            transcendentals=B * n_iters * t_pad * n_fft,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(lr, jnp.float32).reshape(1, 1),
+        x_pad.astype(jnp.float32).reshape(B, 1, lx),
+        target.astype(jnp.float32),
+        pre_re.astype(jnp.float32),
+        pre_im.astype(jnp.float32),
+        *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
+        jnp.asarray(window, jnp.float32).reshape(1, n_fft),
+        jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
+        jnp.asarray(jrev),
+    )
+    return out[0].reshape(B, lx)

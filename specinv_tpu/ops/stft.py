@@ -78,5 +78,12 @@ def istft(
         x = x[..., p:-p]
     if envelope is None:
         envelope = make_envelope(cfg, window, spec.shape[-2])
+    from ..utils import guards
+
+    guards.check(
+        jnp.all(envelope != 0),
+        "OLA envelope contains zeros (window/hop combination leaves gaps; "
+        "the torch reference would emit inf/NaN here)",
+    )
     envelope = jnp.where(envelope == 0, jnp.ones_like(envelope), envelope)
     return x / envelope

@@ -19,42 +19,85 @@ def _mag(x, n_fft, hop, **kw):
     return np.abs(torch_stft(x, n_fft, hop_length=hop, **kw)).astype(np.float32)
 
 
+@pytest.mark.parametrize("backend", ["pallas", "pallas4"])
 @pytest.mark.parametrize("pad_mode", ["reflect", "constant", "replicate", "circular"])
-def test_parity_pad_modes(pad_mode):
+def test_parity_pad_modes(pad_mode, backend):
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128, pad_mode=pad_mode)
     kw = dict(hop_length=128, pad_mode=pad_mode, max_iter=6, tol=0.0, verbose=False)
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
-    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    b = np.asarray(griffin_lim(spec, backend=backend, **kw))
     assert a.shape == b.shape
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
-def test_parity_batched():
+@pytest.mark.parametrize("backend", ["pallas", "pallas4"])
+def test_parity_batched(backend):
     x = make_signal((3, 22050), dtype=np.float32)
     spec = _mag(x, 512, 128)
     kw = dict(hop_length=128, max_iter=5, tol=0.0, verbose=False)
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
-    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    b = np.asarray(griffin_lim(spec, backend=backend, **kw))
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
-def test_parity_center_false():
+@pytest.mark.parametrize("backend", ["pallas", "pallas4"])
+def test_parity_center_false(backend):
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128, center=False)
     kw = dict(hop_length=128, center=False, max_iter=5, tol=0.0, verbose=False)
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
-    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    b = np.asarray(griffin_lim(spec, backend=backend, **kw))
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
-def test_parity_early_stop():
+@pytest.mark.parametrize("backend", ["pallas", "pallas4"])
+def test_parity_early_stop(backend):
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)
     kw = dict(hop_length=128, max_iter=40, tol=1.0, eva_iter=5, verbose=False)
     a = np.asarray(griffin_lim(spec, backend="fft", **kw))
-    b = np.asarray(griffin_lim(spec, backend="pallas", **kw))
+    b = np.asarray(griffin_lim(spec, backend=backend, **kw))
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
+
+
+def test_parity_twosided_pallas4():
+    """onesided=False runs natively in the four-step kernel (full-spectrum
+    iteration) — the direct-DFT kernel cannot do this at all."""
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128, onesided=False)
+    kw = dict(hop_length=128, onesided=False, max_iter=5, tol=0.0, verbose=False)
+    a = np.asarray(griffin_lim(spec, backend="fft", **kw))
+    b = np.asarray(griffin_lim(spec, backend="pallas4", **kw))
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
+
+
+def test_parity_normalized_pallas4():
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128, normalized=True)
+    kw = dict(hop_length=128, normalized=True, max_iter=5, tol=0.0, verbose=False)
+    a = np.asarray(griffin_lim(spec, backend="fft", **kw))
+    b = np.asarray(griffin_lim(spec, backend="pallas4", **kw))
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
+
+
+def test_fft4_transform_unit():
+    """Four-step forward/inverse vs jnp.fft, permuted-layout round trip."""
+    import jax
+
+    from specinv_tpu.ops.pallas import fft4
+
+    rng = np.random.default_rng(0)
+    for n_fft in (512, 2048):
+        fr = rng.standard_normal((5, n_fft)).astype(np.float32)
+        t = fft4.tables_as_jnp(n_fft, False)
+        s_re, s_im = fft4.fwd4(jnp.asarray(fr), t, jax.lax.Precision.HIGHEST)
+        S = fft4.from_permuted(s_re + 1j * s_im, n_fft)
+        ref = np.fft.fft(fr, axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(S), ref, atol=3e-4 * scale)
+        back = fft4.inv4_real(s_re, s_im, t, jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(back), fr, atol=1e-5 * scale)
 
 
 def test_unsupported_config_raises():
@@ -94,7 +137,7 @@ def test_admm_batched_parity():
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
-@pytest.mark.parametrize("which", ["gl", "admm"])
+@pytest.mark.parametrize("which", ["gl", "gl4", "admm"])
 def test_gradients_match_xla_path(which):
     """backend='pallas' is differentiable: custom_vjp routes the backward
     through the XLA twin of the kernel math."""
@@ -104,7 +147,8 @@ def test_gradients_match_xla_path(which):
 
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)
-    fn = griffin_lim if which == "gl" else ADMM
+    fn = ADMM if which == "admm" else griffin_lim
+    backend = "pallas4" if which == "gl4" else "pallas"
     kw = dict(hop_length=128, max_iter=3, tol=0.0, verbose=False)
 
     def loss(s, backend):
@@ -113,7 +157,7 @@ def test_gradients_match_xla_path(which):
         return jnp.mean((y[:n] - x[:n]) ** 2)
 
     g_ref = np.asarray(jax.grad(lambda s: loss(s, "fft"))(jnp.asarray(spec)))
-    g_pal = np.asarray(jax.grad(lambda s: loss(s, "pallas"))(jnp.asarray(spec)))
+    g_pal = np.asarray(jax.grad(lambda s: loss(s, backend))(jnp.asarray(spec)))
     assert np.isfinite(g_pal).all()
     rel = np.abs(g_ref - g_pal).max() / (np.abs(g_ref).max() + 1e-12)
     assert rel < 5e-2, rel

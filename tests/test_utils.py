@@ -64,3 +64,30 @@ def test_iterate_while_equals_fori():
 def test_iterate_rejects_bad_mode():
     with pytest.raises(ValueError):
         iterate(lambda s: (s, s), jnp.zeros(3), jnp.zeros(3), 5, 0.1, mode="nope")
+
+
+def test_checkify_guards_detect_zero_envelope():
+    """SURVEY §5 sanitizer: the planted envelope check fires where the torch
+    reference silently emits inf/NaN (center=False + gappy window/hop)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from specinv_tpu import griffin_lim
+    from specinv_tpu.utils import guards
+
+    # hop > win_length leaves inter-frame gaps -> zero envelope samples
+    rng = np.random.default_rng(0)
+    mag = jnp.asarray(np.abs(rng.standard_normal((65, 12))), jnp.float32)
+    kw = dict(n_fft=128, win_length=64, hop_length=100, center=False,
+              max_iter=2, tol=0.0, verbose=False)
+    with guards.debug_checks():
+        with pytest.raises(Exception, match="envelope contains zeros"):
+            guards.checked(lambda m: griffin_lim(m, **kw))(mag)
+    # and a healthy config passes with float checks on
+    mag2 = jnp.asarray(np.abs(rng.standard_normal((65, 12))), jnp.float32)
+    with guards.debug_checks():
+        y = guards.checked(
+            lambda m: griffin_lim(m, n_fft=128, max_iter=2, tol=0.0, verbose=False)
+        )(mag2)
+    assert np.isfinite(np.asarray(y)).all()
