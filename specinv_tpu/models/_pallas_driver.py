@@ -184,6 +184,56 @@ def gl_xla_twin4(
     return (y, s_re, s_im), mag
 
 
+def admm_xla_twin4(
+    state, target_p, window, inv_env, rho, cfg: STFTConfig, geo: PaddedGeometry,
+    valid_t: int,
+    precision=None,
+):
+    """XLA twin of the four-step fused ADMM kernels (full-spectrum permuted
+    state) — backward rule for their custom_vjps."""
+    import jax
+
+    from ..ops.framing import frame, overlap_add
+    from ..ops.pallas import fft4
+    from ..ops.pallas.gl_fused import PROJ_EPS
+
+    x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    m = n_fft // 128
+    hi = precision or jax.lax.Precision.HIGHEST
+    t = fft4.tables_as_jnp(cfg.n_fft, cfg.normalized)
+
+    frames = frame(x_pad, n_fft, hop) * window
+    B, tp, _ = frames.shape
+    r_re, r_im = fft4.fwd4(frames.reshape(B * tp, n_fft), t, hi)
+    r_re = r_re.reshape(B, tp, m, 128)
+    r_im = r_im.reshape(B, tp, m, 128)
+    mag = jnp.sqrt(r_re * r_re + r_im * r_im + 1e-30)
+    inv1p = 1.0 / (1.0 + rho)
+    z_re = (rho * Yr + r_re) * inv1p
+    z_im = (rho * Yi + r_im) * inv1p
+    u_re = Ur + Xr - z_re
+    u_im = Ui + Xi - z_im
+    t_re = z_re - u_re
+    t_im = z_im - u_im
+    norm = jnp.sqrt(t_re * t_re + t_im * t_im + 1e-30) + PROJ_EPS
+    gain = target_p / norm
+    xn_re = t_re * gain
+    xn_im = t_im * gain
+    yn_re = xn_re + u_re
+    yn_im = xn_im + u_im
+    valid = (jnp.arange(tp) < valid_t)[None, :, None, None]
+    xn_re, xn_im = jnp.where(valid, xn_re, 0.0), jnp.where(valid, xn_im, 0.0)
+    yn_re, yn_im = jnp.where(valid, yn_re, 0.0), jnp.where(valid, yn_im, 0.0)
+    u_re, u_im = jnp.where(valid, u_re, 0.0), jnp.where(valid, u_im, 0.0)
+    fr = fft4.inv4_real(
+        yn_re.reshape(B * tp, m, 128), yn_im.reshape(B * tp, m, 128), t, hi
+    ).reshape(B, tp, n_fft)
+    y = overlap_add(fr * window, hop) * inv_env
+    y = repad_edges(y, cfg, geo)
+    return (y, xn_re, xn_im, yn_re, yn_im, u_re, u_im), mag
+
+
 def admm_xla_twin(
     state, target_pad, window, inv_env, rho, cfg: STFTConfig, geo: PaddedGeometry,
     valid_t: int,

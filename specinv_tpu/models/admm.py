@@ -210,6 +210,154 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision"),
+)
+def run_tm_pallas4(
+    target_tm: jnp.ndarray,
+    init_spec_tm: jnp.ndarray,
+    window: jnp.ndarray,
+    rho: jnp.ndarray,
+    tol: jnp.ndarray,
+    cfg: STFTConfig,
+    max_iter: int = 1000,
+    eva_iter: int = 10,
+    metric: str = "sc",
+    verbose: bool = False,
+    block_t: int = 64,
+    interpret: bool = False,
+    early_stop: bool = True,
+    precision=None,
+) -> jnp.ndarray:
+    """ADMM driven by the four-step fused kernels (ops/pallas/admm_fused4):
+    Hermitian-extended full-spectrum iteration in permuted layout; the
+    fixed-iteration path runs the whole loop in ONE Pallas launch."""
+    from ..ops.framing import pad_center
+    from ..ops.pallas import fft4
+    from ..ops.pallas.admm_fused4 import fused_admm_iteration4, fused_admm_run
+    from ._pallas_driver import admm_xla_twin4, make_geometry4, make_inv_env
+
+    if precision is None:
+        precision = fourier.default_precision()
+    B, T, F = target_tm.shape
+    n_fft = cfg.n_fft
+    geo = make_geometry4(cfg, T, block_t=block_t)
+    inv_env = make_inv_env(cfg, window, T, geo)
+
+    if cfg.onesided:
+        tgt_full = fft4.extend_hermitian_mag(target_tm.astype(jnp.float32), n_fft)
+        spec_full = fft4.extend_hermitian_spec(init_spec_tm, n_fft)
+    else:
+        tgt_full = target_tm.astype(jnp.float32)
+        spec_full = init_spec_tm
+
+    def pad_rows(a):
+        return jnp.pad(a, ((0, 0), (0, geo.t_pad - T), (0, 0)))
+
+    target_p = fft4.to_permuted(pad_rows(tgt_full), n_fft)
+    x0_re = fft4.to_permuted(pad_rows(spec_full.real.astype(jnp.float32)), n_fft)
+    x0_im = fft4.to_permuted(pad_rows(spec_full.imag.astype(jnp.float32)), n_fft)
+
+    x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
+    x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
+
+    with_mag = bool(early_stop or verbose)
+    twin_precision = (
+        precision if isinstance(precision, jax.lax.Precision)
+        else jax.lax.Precision.HIGHEST
+    )
+    win32 = window.astype(jnp.float32)
+
+    if not with_mag:
+        @jax.custom_vjp
+        def full_run(state0, tgt, win, env, rho_):
+            x_pad0_, Xr0, Xi0 = state0
+            return fused_admm_run(
+                x_pad0_, Xr0, Xi0, tgt, win, env, rho_, cfg, valid_t=T,
+                e=geo.e, n_iters=max_iter, block_t=geo.block_t,
+                interpret=interpret, precision=precision,
+            )
+
+        def full_run_fwd(state0, tgt, win, env, rho_):
+            return full_run(state0, tgt, win, env, rho_), (
+                state0, tgt, win, env, rho_,
+            )
+
+        def full_run_bwd(residuals, ct_x):
+            state0, tgt, win, env, rho_ = residuals
+
+            def replay(state0_, tgt_, win_, env_, rho__):
+                x_, Xr, Xi = state0_
+                st = (x_, Xr, Xi, Xr, Xi, jnp.zeros_like(Xr), jnp.zeros_like(Xi))
+
+                def body(s, _):
+                    s2, _mag = admm_xla_twin4(
+                        s, tgt_, win_, env_, rho__, cfg, geo, T,
+                        precision=twin_precision,
+                    )
+                    return s2, None
+
+                st_n, _ = jax.lax.scan(body, st, None, length=max_iter)
+                return st_n[0]
+
+            _, vjp = jax.vjp(replay, state0, tgt, win, env, rho_)
+            return vjp(ct_x)
+
+        full_run.defvjp(full_run_fwd, full_run_bwd)
+
+        x_pad = full_run((x_pad0, x0_re, x0_im), target_p, win32, inv_env, rho)
+        return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
+
+    @jax.custom_vjp
+    def one_iter(state, tgt, win, env, rho_):
+        x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
+        x_pad, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration4(
+            x_pad, Xr, Xi, Yr, Yi, Ur, Ui, tgt, win, env, rho_, cfg,
+            valid_t=T, e=geo.e, block_t=geo.block_t, interpret=interpret,
+            precision=precision, with_mag=True,
+        )
+        return (x_pad, Xr, Xi, Yr, Yi, Ur, Ui), mag
+
+    def one_iter_fwd(state, tgt, win, env, rho_):
+        return one_iter(state, tgt, win, env, rho_), (state, tgt, win, env, rho_)
+
+    def one_iter_bwd(residuals, cotangents):
+        state, tgt, win, env, rho_ = residuals
+        _, vjp = jax.vjp(
+            lambda s, t, w_, e_, r_: admm_xla_twin4(
+                s, t, w_, e_, r_, cfg, geo, T, precision=twin_precision
+            ),
+            state, tgt, win, env, rho_,
+        )
+        return vjp(cotangents)
+
+    one_iter.defvjp(one_iter_fwd, one_iter_bwd)
+
+    def step(state):
+        state, mag = one_iter(state, target_p, win32, inv_env, rho)
+        mag = fft4.from_permuted(mag, n_fft)[:, :T, :F]
+        return state, mag
+
+    state0 = (
+        x_pad0, x0_re, x0_im, x0_re, x0_im,
+        jnp.zeros_like(x0_re), jnp.zeros_like(x0_im),
+    )
+    state = iterate(
+        step,
+        state0,
+        target_tm.astype(jnp.float32),
+        max_iter=max_iter,
+        tol=tol,
+        eva_iter=eva_iter,
+        metric=metric,
+        verbose=verbose,
+        mode="fori",
+        early_stop=early_stop,
+    )
+    return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
+
+
+@partial(
+    jax.jit,
     static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop"),
 )
 def _full_run(
@@ -231,6 +379,21 @@ def _full_run(
         cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
     else:
         cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    if backend == "pallas4":
+        return run_tm_pallas4.__wrapped__(
+            target_tm,
+            cmplx_tm,
+            window,
+            rho.astype(jnp.float32),
+            tol.astype(jnp.float32),
+            cfg,
+            max_iter=max_iter,
+            eva_iter=eva_iter,
+            metric=metric,
+            verbose=verbose,
+            interpret=jax.default_backend() == "cpu",
+            early_stop=early_stop,
+        )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
             target_tm,
@@ -278,11 +441,18 @@ def ADMM(
     """Reference-parity entry point (methods.py:415-506)."""
     assert eva_iter > 0 and max_iter > 0 and tol >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
-    from ..ops.pallas import gl_fused
+    from ..ops.pallas import gl_fused, gl_fused4
 
     if backend == "auto" and jax.default_backend() not in ("cpu",):
-        if gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
+        if gl_fused4.supports(cfg, window):
+            backend = "pallas4"
+        elif gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
             backend = "pallas"
+    if backend == "pallas4" and not gl_fused4.supports(cfg, window):
+        raise ValueError(
+            "pallas4 backend requires n_fft % 128 == 0, hop % 128 == 0, "
+            "real window; use backend='auto' instead"
+        )
     if backend == "pallas":
         if not gl_fused.supports(cfg, window):
             raise ValueError(

@@ -1,0 +1,460 @@
+"""Fused ADMM iteration + whole-run kernel, four-step matmul-FFT edition.
+
+Same architecture as :mod:`.gl_fused4` / :mod:`.gl_fullrun4` with the
+Griffin-Lim middle replaced by the reference's ADMM update chain
+(/root/reference/torch_specinv/methods.py:464-477):
+
+    R = stft(x);  Z = (rho*Y + R)/(1+rho);  U += X - Z
+    X = proj_mag(Z - U);  Y = X + U;  x = istft(Y)
+
+The iteration runs in Hermitian-extended full-spectrum space (permuted
+(m, 128) bin layout, see fft4): every update is elementwise per bin against
+a mirrored target, so symmetry — and hence exact equivalence with the
+onesided iteration — is preserved.  Rows >= valid_t are zero padding and are
+masked after the dual update (unlike GL, ADMM's dual would otherwise give
+padded rows Y = -R/(1+rho) != 0 and overlap-add garbage).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import STFTConfig
+from . import fft4
+from .gl_fused import LANE, PROJ_EPS, _anti_identity, split_schemes
+from .gl_fullrun4 import _repad_slab
+
+TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
+
+
+def _admm_middle(
+    r_re, r_im, x_sre, x_sim, y_sre, y_sim, u_sre, u_sim, tgt, rho,
+    row0, valid_t: int, block_t: int, m: int,
+):
+    """The elementwise ADMM update chain on (block_t, m, 128) planes."""
+    inv1p = 1.0 / (1.0 + rho)
+    z_re = (rho * y_sre + r_re) * inv1p
+    z_im = (rho * y_sim + r_im) * inv1p
+    u_re = u_sre + x_sre - z_re
+    u_im = u_sim + x_sim - z_im
+    t_re = z_re - u_re
+    t_im = z_im - u_im
+    norm = jnp.sqrt(t_re * t_re + t_im * t_im) + PROJ_EPS
+    gain = tgt / norm
+    xn_re = t_re * gain
+    xn_im = t_im * gain
+    yn_re = xn_re + u_re
+    yn_im = xn_im + u_im
+    row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_t, m, LANE), 0)
+    valid = row < valid_t
+    z = jnp.float32(0.0)
+    return (
+        jnp.where(valid, xn_re, z), jnp.where(valid, xn_im, z),
+        jnp.where(valid, yn_re, z), jnp.where(valid, yn_im, z),
+        jnp.where(valid, u_re, z), jnp.where(valid, u_im, z),
+    )
+
+
+def _kernel(
+    rho_ref,       # SMEM (1, 1)
+    x_ref,         # (1, 1, Lx)
+    tgt_ref,       # (1, BT, m, 128)
+    x_sre_ref, x_sim_ref,   # X (1, BT, m, 128)
+    y_sre_ref, y_sim_ref,   # Y
+    u_sre_ref, u_sim_ref,   # U
+    *rest,
+    block_t: int,
+    n_fft: int,
+    hop: int,
+    valid_t: int,
+    pad_mode: str,
+    p_amt: int,
+    e: int,
+    fwd_p,
+    inv_p,
+    with_mag: bool,
+    np_tables,
+):
+    ntab = len(TABLE_KEYS)
+    tab_refs = rest[:ntab]
+    win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
+    outs = rest[ntab + 3 :]
+    if with_mag:
+        (x_out_ref, nx_re_ref, nx_im_ref, ny_re_ref, ny_im_ref,
+         nu_re_ref, nu_im_ref, mag_ref, frames_s) = outs
+    else:
+        (x_out_ref, nx_re_ref, nx_im_ref, ny_re_ref, ny_im_ref,
+         nu_re_ref, nu_im_ref, frames_s) = outs
+
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    m = n_fft // LANE
+    window = win_ref[0, :]
+    tables = dict(np_tables)
+    tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
+
+    @pl.when(t == 0)
+    def _zero_out():
+        x_out_ref[...] = jnp.zeros_like(x_out_ref)
+
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            seg = x_ref[
+                0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
+            ].reshape(block_t, hop)
+            frames_s[:, j * hop : (j + 1) * hop] = (
+                seg * window[j * hop : (j + 1) * hop]
+            )
+    else:
+        def body(tl, _):
+            start = (t * block_t + tl) * hop
+            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body, 0)
+
+    r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
+
+    if with_mag:
+        mag_ref[0] = jnp.sqrt(r_re * r_re + r_im * r_im)
+
+    xn_re, xn_im, yn_re, yn_im, u_re, u_im = _admm_middle(
+        r_re, r_im, x_sre_ref[0], x_sim_ref[0], y_sre_ref[0], y_sim_ref[0],
+        u_sre_ref[0], u_sim_ref[0], tgt_ref[0], rho_ref[0, 0],
+        t * block_t, valid_t, block_t, m,
+    )
+    nx_re_ref[0] = xn_re
+    nx_im_ref[0] = xn_im
+    ny_re_ref[0] = yn_re
+    ny_im_ref[0] = yn_im
+    nu_re_ref[0] = u_re
+    nu_im_ref[0] = u_im
+
+    fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
+
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            start = (t * block_t + j) * hop
+            cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
+                block_t, hop
+            )
+            add = fr[:, j * hop : (j + 1) * hop] * window[
+                j * hop : (j + 1) * hop
+            ]
+            x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
+                cur + add
+            ).reshape(block_t * hop)
+    else:
+        def body_o(tl, _):
+            start = (t * block_t + tl) * hop
+            x_out_ref[0, 0, pl.ds(start, n_fft)] += fr[tl, :] * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body_o, 0)
+
+    @pl.when(t == n_t - 1)
+    def _normalize():
+        x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
+        from .gl_fused import _repad_in_kernel
+
+        _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
+
+
+def fused_admm_iteration4(
+    x_pad, X_re, X_im, Y_re, Y_im, U_re, U_im, target, window, inv_env, rho,
+    cfg: STFTConfig, valid_t: int, e: int, block_t: int = 64,
+    interpret: bool = False, precision=jax.lax.Precision.HIGH,
+    with_mag: bool = True,
+):
+    """One fused four-step ADMM iteration.
+
+    Returns ``(x_pad, mag_p|None, X_re, X_im, Y_re, Y_im, U_re, U_im)``.
+    """
+    B, t_pad, m, lanes = target.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    assert lanes == LANE and m == n_fft // LANE and t_pad % block_t == 0
+    lx = x_pad.shape[-1]
+    assert lx == (t_pad - 1) * hop + n_fft
+
+    tables = fft4.fourstep_tables(n_fft, cfg.normalized)
+    np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
+    p_amt = cfg.pad_amount
+    pad_mode = cfg.jnp_pad_mode
+    if p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)
+    else:
+        jrev = np.zeros((8, LANE), np.float32)
+
+    fwd_p, inv_p = split_schemes(precision)
+    kernel = functools.partial(
+        _kernel, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t,
+        pad_mode=pad_mode, p_amt=p_amt, e=e, fwd_p=fwd_p, inv_p=inv_p,
+        with_mag=with_mag, np_tables=np_tables,
+    )
+    grid = (B, t_pad // block_t)
+    blk = pl.BlockSpec((1, block_t, m, LANE), lambda b, t: (b, t, 0, 0))
+    sig = pl.BlockSpec((1, 1, lx), lambda b, t: (b, 0, 0))
+    const_sig = pl.BlockSpec((1, 1, lx), lambda b, t: (0, 0, 0))
+
+    out_specs = [sig] + [blk] * 6
+    out_shape = [jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)] + [
+        jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
+    ] * 6
+    if with_mag:
+        out_specs.append(blk)
+        out_shape.append(jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32))
+
+    macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # rho
+            sig,                                                # x
+            blk,                                                # target
+            blk, blk, blk, blk, blk, blk,                       # X/Y/U re+im
+            *[
+                pl.BlockSpec(tables[k].shape, lambda b, t: (0, 0))
+                for k in TABLE_KEYS
+            ],
+            pl.BlockSpec((1, n_fft), lambda b, t: (0, 0)),      # window
+            const_sig,                                          # inv_env
+            pl.BlockSpec(jrev.shape, lambda b, t: (0, 0)),      # jrev
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((block_t, n_fft), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * t_pad * macs_frame,
+            bytes_accessed=4 * (2 * B * lx + 14 * B * t_pad * n_fft),
+            transcendentals=(1 + with_mag) * B * t_pad * n_fft,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, jnp.float32).reshape(1, 1),
+        x_pad.astype(jnp.float32).reshape(B, 1, lx),
+        target.astype(jnp.float32),
+        X_re.astype(jnp.float32), X_im.astype(jnp.float32),
+        Y_re.astype(jnp.float32), Y_im.astype(jnp.float32),
+        U_re.astype(jnp.float32), U_im.astype(jnp.float32),
+        *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
+        jnp.asarray(window, jnp.float32).reshape(1, n_fft),
+        jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
+        jnp.asarray(jrev),
+    )
+    if with_mag:
+        x_raw, nx_re, nx_im, ny_re, ny_im, nu_re, nu_im, mag = out
+    else:
+        x_raw, nx_re, nx_im, ny_re, ny_im, nu_re, nu_im = out
+        mag = None
+    return (x_raw.reshape(B, lx), mag, nx_re, nx_im, ny_re, ny_im, nu_re, nu_im)
+
+
+# ---------------------------------------------------------------------------
+# Whole-run variant: grid (B, n_iters, n_t), state resident in VMEM.
+
+
+def _kernel_full(
+    rho_ref,
+    x0_ref,        # (1, 1, Lx)
+    tgt_ref,       # (1, t_pad, m, 128)
+    x0_sre_ref, x0_sim_ref,   # initial X (= initial Y; U starts at 0)
+    *rest,
+    block_t: int,
+    n_fft: int,
+    hop: int,
+    valid_t: int,
+    pad_mode: str,
+    p_amt: int,
+    e: int,
+    fwd_p,
+    inv_p,
+    np_tables,
+    n_iters: int,
+):
+    ntab = len(TABLE_KEYS)
+    tab_refs = rest[:ntab]
+    win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
+    x_out_ref = rest[ntab + 3]
+    (x_s, xs_re, xs_im, ys_re, ys_im, us_re, us_im, frames_s) = rest[ntab + 4 :]
+
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    n_t = pl.num_programs(2)
+    rd = jax.lax.rem(i, jnp.int32(2))
+    wr = 1 - rd
+    m = n_fft // LANE
+    window = win_ref[0, :]
+    tables = dict(np_tables)
+    tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _init_x():
+        x_s[pl.ds(0, 1), :] = x0_ref[0]
+
+    sl = pl.ds(t * block_t, block_t)
+
+    @pl.when(i == 0)
+    def _init_state():
+        xs_re[sl] = x0_sre_ref[0, sl]
+        xs_im[sl] = x0_sim_ref[0, sl]
+        ys_re[sl] = x0_sre_ref[0, sl]
+        ys_im[sl] = x0_sim_ref[0, sl]
+        us_re[sl] = jnp.zeros((block_t, m, LANE), jnp.float32)
+        us_im[sl] = jnp.zeros((block_t, m, LANE), jnp.float32)
+
+    @pl.when(t == 0)
+    def _zero_write_slab():
+        x_s[pl.ds(wr, 1), :] = jnp.zeros((1, x_s.shape[1]), jnp.float32)
+
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            seg = x_s[
+                pl.ds(rd, 1), pl.ds((t * block_t + j) * hop, block_t * hop)
+            ].reshape(block_t, hop)
+            frames_s[:, j * hop : (j + 1) * hop] = (
+                seg * window[j * hop : (j + 1) * hop]
+            )
+    else:
+        def body(tl, _):
+            start = (t * block_t + tl) * hop
+            frames_s[tl, :] = x_s[
+                pl.ds(rd, 1), pl.ds(start, n_fft)
+            ].reshape(n_fft) * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body, 0)
+
+    r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
+    xn_re, xn_im, yn_re, yn_im, u_re, u_im = _admm_middle(
+        r_re, r_im, xs_re[sl], xs_im[sl], ys_re[sl], ys_im[sl],
+        us_re[sl], us_im[sl], tgt_ref[0, sl], rho_ref[0, 0],
+        t * block_t, valid_t, block_t, m,
+    )
+    xs_re[sl] = xn_re
+    xs_im[sl] = xn_im
+    ys_re[sl] = yn_re
+    ys_im[sl] = yn_im
+    us_re[sl] = u_re
+    us_im[sl] = u_im
+
+    fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
+
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            start = (t * block_t + j) * hop
+            idx = (pl.ds(wr, 1), pl.ds(start, block_t * hop))
+            cur = x_s[idx].reshape(block_t, hop)
+            add = fr[:, j * hop : (j + 1) * hop] * window[
+                j * hop : (j + 1) * hop
+            ]
+            x_s[idx] = (cur + add).reshape(1, block_t * hop)
+    else:
+        def body_o(tl, _):
+            start = (t * block_t + tl) * hop
+            idx = (pl.ds(wr, 1), pl.ds(start, n_fft))
+            cur = x_s[idx].reshape(n_fft)
+            x_s[idx] = (cur + fr[tl, :] * window).reshape(1, n_fft)
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body_o, 0)
+
+    @pl.when(t == n_t - 1)
+    def _normalize():
+        idx = (pl.ds(wr, 1), slice(None))
+        x_s[idx] = x_s[idx] * inv_env_ref[0]
+        _repad_slab(x_s, wr, jrev_ref, pad_mode, p_amt, e)
+
+    @pl.when(jnp.logical_and(i == n_iters - 1, t == n_t - 1))
+    def _emit():
+        x_out_ref[0] = x_s[pl.ds(wr, 1), :]
+
+
+def fused_admm_run(
+    x_pad, X_re, X_im, target, window, inv_env, rho,
+    cfg: STFTConfig, valid_t: int, e: int, n_iters: int, block_t: int = 64,
+    interpret: bool = False, precision=jax.lax.Precision.HIGH,
+):
+    """Run ``n_iters`` fused ADMM iterations in one launch -> final x_pad.
+
+    Initial state per the reference (methods.py:452-456): ``Y = X`` (the
+    seeded complex spectrum, passed as X_re/X_im), ``U = 0``.
+    """
+    B, t_pad, m, lanes = target.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    assert lanes == LANE and m == n_fft // LANE and t_pad % block_t == 0
+    lx = x_pad.shape[-1]
+    assert lx == (t_pad - 1) * hop + n_fft
+
+    tables = fft4.fourstep_tables(n_fft, cfg.normalized)
+    np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
+    p_amt = cfg.pad_amount
+    pad_mode = cfg.jnp_pad_mode
+    if p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)
+    else:
+        jrev = np.zeros((8, LANE), np.float32)
+
+    fwd_p, inv_p = split_schemes(precision)
+    kernel = functools.partial(
+        _kernel_full, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t,
+        pad_mode=pad_mode, p_amt=p_amt, e=e, fwd_p=fwd_p, inv_p=inv_p,
+        np_tables=np_tables, n_iters=n_iters,
+    )
+    grid = (B, n_iters, t_pad // block_t)
+    whole = lambda b, i, t: (b, 0, 0, 0)  # noqa: E731
+    sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (b, 0, 0))
+    const_sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (0, 0, 0))
+    blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
+
+    macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # rho
+            sig,                                                 # x0
+            blk, blk, blk,                                       # tgt, X0
+            *[
+                pl.BlockSpec(tables[k].shape, lambda b, i, t: (0, 0))
+                for k in TABLE_KEYS
+            ],
+            pl.BlockSpec((1, n_fft), lambda b, i, t: (0, 0)),    # window
+            const_sig,                                           # inv_env
+            pl.BlockSpec(jrev.shape, lambda b, i, t: (0, 0)),    # jrev
+        ],
+        out_specs=[sig],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, lx), jnp.float32),
+            *[pltpu.VMEM((t_pad, m, LANE), jnp.float32)] * 6,
+            pltpu.VMEM((block_t, n_fft), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_iters * t_pad * macs_frame,
+            bytes_accessed=4 * (2 * B * lx + 3 * B * t_pad * n_fft),
+            transcendentals=B * n_iters * t_pad * n_fft,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, jnp.float32).reshape(1, 1),
+        x_pad.astype(jnp.float32).reshape(B, 1, lx),
+        target.astype(jnp.float32),
+        X_re.astype(jnp.float32), X_im.astype(jnp.float32),
+        *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
+        jnp.asarray(window, jnp.float32).reshape(1, n_fft),
+        jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
+        jnp.asarray(jrev),
+    )
+    return out[0].reshape(B, lx)

@@ -62,6 +62,7 @@ def _kernel(
     inv_p,
     with_mag: bool,
     np_tables,
+    normalize: bool = True,
 ):
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
@@ -136,10 +137,11 @@ def _kernel(
 
         jax.lax.fori_loop(0, block_t, body_o, 0)
 
-    @pl.when(t == n_t - 1)
-    def _normalize():
-        x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
-        _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
+    if normalize:
+        @pl.when(t == n_t - 1)
+        def _normalize():
+            x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
+            _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
 
 
 def supports(cfg: STFTConfig, window) -> bool:
@@ -164,8 +166,13 @@ def fused_gl_iteration4(
     interpret: bool = False,
     precision=jax.lax.Precision.HIGH,
     with_mag: bool = True,
+    normalize: bool = True,
 ):
     """One fused four-step GL iteration.
+
+    ``normalize=False`` skips the envelope/re-pad epilogue and returns the
+    raw overlap-add (used by the sequence-parallel path, which must halo-
+    exchange boundary spill before normalizing).
 
     Returns ``(x_pad, mag_p, new_pre_re, new_pre_im)``; ``mag_p`` is the
     pre-momentum magnitude in permuted layout (or None if with_mag=False).
@@ -192,6 +199,7 @@ def fused_gl_iteration4(
         _kernel, block_t=block_t, n_fft=n_fft, hop=hop,
         pad_mode=pad_mode, p_amt=p_amt, e=e,
         fwd_p=fwd_p, inv_p=inv_p, with_mag=with_mag, np_tables=np_tables,
+        normalize=normalize,
     )
     grid = (B, n_t)
 

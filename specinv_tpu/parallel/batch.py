@@ -2,23 +2,38 @@
 
 Spectrogram inversion is embarrassingly parallel across clips: there is no
 cross-clip dependency in any algorithm, so DP is pure placement — shard the
-batch axis over the mesh's ``data`` axis and jit the existing run functions.
-XLA/GSPMD propagates the sharding through the whole on-device loop; the only
-collective it inserts is the psum behind the stop-criterion's global mean
-loss.  This mirrors the design in SURVEY.md §2.3: "batch-sharded inversion
-needs zero communication".
+batch axis over the mesh's ``data`` axis.  This mirrors the design in
+SURVEY.md §2.3: "batch-sharded inversion needs zero communication".
+
+Two lowerings:
+
+* ``shard_map`` (default): each shard runs the WHOLE inversion locally —
+  including the fused Pallas kernels, which have no GSPMD partitioning rule
+  but are trivially correct per-shard (no cross-clip dependency).  This is
+  what lets BASELINE config 5 (batched-256 GL over a v5e-8 mesh) run the
+  fastest single-chip path on every chip.  Early stopping under shard_map is
+  per-shard (each shard's mean loss drives its own stop) — fixed-iteration
+  runs (tol=0) are bitwise identical to the unsharded path.
+* ``gspmd=True``: the round-1 behavior — jit with a batch NamedSharding and
+  let GSPMD partition the XLA ops (Pallas excluded, so the kernel backends
+  are pinned to 'matmul').  Early stopping is then global, matching the
+  unsharded stop rule exactly; use it when that parity matters more than
+  kernel speed.
 """
 from __future__ import annotations
 
 from typing import Callable
 
-from jax.sharding import Mesh
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.common import as_array
 from .mesh import shard_batch
 
 
-def batched(fn: Callable, mesh: Mesh, axis_name: str = "data") -> Callable:
+def batched(
+    fn: Callable, mesh: Mesh, axis_name: str = "data", gspmd: bool = False
+) -> Callable:
     """Wrap a public algorithm entry point to run batch-sharded over ``mesh``.
 
     Example::
@@ -33,14 +48,31 @@ def batched(fn: Callable, mesh: Mesh, axis_name: str = "data") -> Callable:
             raise ValueError(
                 f"batched inversion needs a (B, F, T) spectrogram; got rank {spec.ndim}"
             )
-        # GSPMD partitions the XLA paths across the mesh automatically; the
-        # Pallas kernel has no sharding rule, so pin an XLA lowering on
-        # accelerators (on CPU 'auto' already resolves to fft).
-        import jax
+        if gspmd:
+            # GSPMD partitions the XLA paths across the mesh automatically;
+            # the Pallas kernels have no sharding rule, so pin an XLA
+            # lowering on accelerators (on CPU 'auto' already resolves to fft).
+            if jax.default_backend() != "cpu":
+                kwargs.setdefault("backend", "matmul")
+            spec_sharded = shard_batch(spec, mesh, axis_name)
+            return fn(spec_sharded, *args, **kwargs)
 
-        if jax.default_backend() != "cpu":
-            kwargs.setdefault("backend", "matmul")
-        spec = shard_batch(spec, mesh, axis_name)
-        return fn(spec, *args, **kwargs)
+        n = mesh.shape[axis_name]
+        if spec.shape[0] % n:
+            raise ValueError(
+                f"batch {spec.shape[0]} not divisible by mesh axis "
+                f"{axis_name!r} of size {n}"
+            )
+
+        def body(spec_local):
+            return fn(spec_local, *args, **kwargs)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis_name, *([None] * (spec.ndim - 1))),),
+            out_specs=P(axis_name),  # waveforms: batch-sharded leading axis
+            check_vma=False,
+        )(spec)
 
     return wrapper

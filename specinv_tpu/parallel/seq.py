@@ -70,13 +70,16 @@ def _geometry(cfg: STFTConfig, T: int, n: int):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "max_iter", "eva_iter", "shard_batch_axis", "backend"),
+    static_argnames=(
+        "cfg", "mesh", "max_iter", "eva_iter", "shard_batch_axis", "backend",
+        "algo",
+    ),
 )
 def _run_seq(
     target_tm: jnp.ndarray,
     init_spec_tm: jnp.ndarray,
     window: jnp.ndarray,
-    lr: jnp.ndarray,
+    lr: jnp.ndarray,   # GL momentum factor, or ADMM rho
     tol: jnp.ndarray,
     cfg: STFTConfig,
     mesh: Mesh,
@@ -84,6 +87,7 @@ def _run_seq(
     eva_iter: int,
     shard_batch_axis: bool,
     backend: str,
+    algo: str = "gl",
 ) -> jnp.ndarray:
     n = mesh.shape["seq"]
     B, T, F = target_tm.shape
@@ -93,6 +97,22 @@ def _run_seq(
 
     if cfg.pad_mode == "circular" and P_amt:
         raise NotImplementedError("seq-parallel path does not support circular padding")
+
+    # Static geometry for the per-shard fused kernel (backend='pallas4'):
+    # local time blocks + the kernel's padded signal length.
+    use_pallas = backend == "pallas4" and algo == "gl"
+    Ts_local_st = T_pad // n
+    block_t4 = min(64, -(-Ts_local_st // 64) * 64)
+    t_pad_loc = -(-Ts_local_st // block_t4) * block_t4
+    lx_loc = (t_pad_loc - 1) * hop + n_fft
+    if use_pallas:
+        from ..ops.pallas import gl_fused4
+
+        if not gl_fused4.supports(cfg, window):
+            raise ValueError(
+                "seq backend='pallas4' needs n_fft % 128 == 0, hop % 128 == 0, "
+                "real window"
+            )
 
     # --- global precompute (tiny, done once) ---------------------------------
     target_pad = jnp.pad(target_tm, ((0, 0), (0, T_pad - T), (0, 0)))
@@ -119,22 +139,12 @@ def _run_seq(
 
     def shard_body(tgt_loc, x_chunk0, pre0, env_loc, mask_loc, window_, lr_, tol_):
         idx = jax.lax.axis_index("seq")
+        Ts_local = T_pad // n
 
-        def step(state):
-            x_chunk, pre = state
-            halo = jax.lax.ppermute(x_chunk[..., :H], "seq", right_to_left)
-            x_ext = jnp.concatenate([x_chunk, halo], axis=-1)  # (B', C+H)
-            frames = frame(x_ext, n_fft, hop)  # (B', Ts, n_fft)
-            S = fwd(frames * window_)
-            out = jnp.abs(S)
-            S = S - lr_ * pre
-            pre = S
-            S = S * (tgt_loc / (jnp.abs(S) + PROJ_EPS))
-            fr = inv(S) * window_
-            y = overlap_add(fr, hop)  # (B', C+H)
+        def finish_signal(y):
+            """Halo-exchange the OLA spill, normalize, re-pad the edges."""
             tail = jax.lax.ppermute(y[..., C:], "seq", left_to_right)
             y_own = y[..., :C].at[..., :H].add(tail)
-
             x_div = jnp.where(mask_loc, y_own / env_loc, jnp.zeros_like(y_own))
             if P_amt:
                 if cfg.jnp_pad_mode == "reflect":
@@ -158,10 +168,65 @@ def _run_seq(
                         right_vals
                     )
                     x_div = jnp.where(on_last, x_right, x_div)
-            return (x_div, pre), out
+            return x_div
+
+        def extend(x_chunk):
+            halo = jax.lax.ppermute(x_chunk[..., :H], "seq", right_to_left)
+            return jnp.concatenate([x_chunk, halo], axis=-1)  # (B', C+H)
+
+        def gl_step(state):
+            x_chunk, pre = state
+            frames = frame(extend(x_chunk), n_fft, hop)  # (B', Ts, n_fft)
+            S = fwd(frames * window_)
+            out = jnp.abs(S)
+            S = S - lr_ * pre
+            pre = S
+            S = S * (tgt_loc / (jnp.abs(S) + PROJ_EPS))
+            y = overlap_add(inv(S) * window_, hop)  # (B', C+H)
+            return (finish_signal(y), pre), out
+
+        valid_rows = (idx * Ts_local + jnp.arange(Ts_local) < T)[None, :, None]
+
+        def admm_step(state):
+            x_chunk, X, Y, U = state
+            frames = frame(extend(x_chunk), n_fft, hop)
+            R = fwd(frames * window_)
+            out = jnp.abs(R)
+            Z = (lr_ * Y + R) / (1 + lr_)          # lr_ carries rho here
+            U = U + X - Z
+            Tz = Z - U
+            Xn = Tz * (tgt_loc / (jnp.abs(Tz) + PROJ_EPS))
+            Yn = Xn + U
+            # padded rows (>= T) must stay inert: ADMM's dual gives them
+            # Y = -R/(1+rho) != 0 which would OLA garbage into real samples
+            Xn = jnp.where(valid_rows, Xn, 0.0)
+            Yn = jnp.where(valid_rows, Yn, 0.0)
+            U = jnp.where(valid_rows, U, 0.0)
+            y = overlap_add(inv(Yn) * window_, hop)
+            return (finish_signal(y), Xn, Yn, U), out
+
+        def gl_step_pallas(state):
+            # per-shard fused four-step kernel: framing/DFT/momentum/
+            # projection/inverse/OLA in one launch (normalize=False — the
+            # spill must cross shards first), halo exchange + envelope in XLA
+            from ..ops.pallas import fft4
+            from ..ops.pallas.gl_fused4 import fused_gl_iteration4
+
+            x_chunk, pre_re, pre_im = state
+            x_ext = extend(x_chunk)
+            x_ext = jnp.pad(x_ext, ((0, 0), (0, lx_loc - (C + H))))
+            x_raw, mag_p, pre_re, pre_im = fused_gl_iteration4(
+                x_ext, pre_re, pre_im, tgt_p, window_.astype(jnp.float32),
+                ones_env, lr_.astype(jnp.float32), cfg, e=0,
+                block_t=block_t4,
+                interpret=jax.default_backend() == "cpu",
+                with_mag=True, normalize=False,
+            )
+            y = x_raw[..., : C + H]
+            out = fft4.from_permuted(mag_p, n_fft)[:, :Ts_local, :F]
+            return (finish_signal(y).astype(x_chunk.dtype), pre_re, pre_im), out
 
         total = B * T * F  # true element count
-        Ts_local = T_pad // n
 
         def psum_mse(out, tgt):
             # Mask rows beyond the true frame count T: padded frames have a
@@ -170,14 +235,47 @@ def _run_seq(
             # the unsharded path's.
             row = idx * Ts_local + jnp.arange(Ts_local)
             valid = (row < T)[None, :, None]
-            d = jnp.where(valid, out - tgt, 0.0)
+            d = jnp.where(valid, out - tgt[..., :F], 0.0)
             local = jnp.sum((d * d).real)
             axes = ("seq",) if not shard_batch_axis else ("seq", "data")
             return jax.lax.psum(local, axes) / total
 
+        if algo == "admm":
+            step = admm_step
+            state0 = (x_chunk0, pre0, pre0, jnp.zeros_like(pre0))
+        elif use_pallas:
+            from ..ops.pallas import fft4
+
+            def pad_rows(a):
+                return jnp.pad(
+                    a, ((0, 0), (0, t_pad_loc - Ts_local), (0, 0))
+                )
+
+            if cfg.onesided:
+                tgt_full = fft4.extend_hermitian_mag(
+                    tgt_loc.astype(jnp.float32), n_fft
+                )
+                pre_full = fft4.extend_hermitian_spec(pre0, n_fft)
+            else:
+                tgt_full = tgt_loc.astype(jnp.float32)
+                pre_full = pre0
+            tgt_p = fft4.to_permuted(pad_rows(tgt_full), n_fft)
+            pre_re0 = fft4.to_permuted(
+                pad_rows(pre_full.real.astype(jnp.float32)), n_fft
+            )
+            pre_im0 = fft4.to_permuted(
+                pad_rows(pre_full.imag.astype(jnp.float32)), n_fft
+            )
+            ones_env = jnp.ones((lx_loc,), jnp.float32)
+            step = gl_step_pallas
+            state0 = (x_chunk0, pre_re0, pre_im0)
+        else:
+            step = gl_step
+            state0 = (x_chunk0, pre0)
+
         state = iterate(
             step,
-            (x_chunk0, pre0),
+            state0,
             tgt_loc,
             max_iter=max_iter,
             tol=tol_,
@@ -247,5 +345,47 @@ def griffin_lim_seq(
         eva_iter=eva_iter,
         shard_batch_axis=shard_batch_axis,
         backend=backend,
+        algo="gl",
+    )
+    return restore_output(x, was_2d)
+
+
+def admm_seq(
+    spec,
+    mesh: Mesh,
+    max_iter: int = 1000,
+    tol: float = 0.0,
+    rho: float = 0.1,
+    eva_iter: int = 10,
+    shard_batch_axis: bool = False,
+    backend: str = "auto",
+    **stft_kwargs,
+):
+    """Sequence-parallel ADMM over ``mesh``'s ``seq`` axis.
+
+    Same numerics as :func:`specinv_tpu.ADMM` (update chain methods.py:
+    464-477, rows past the true frame count masked inert) with the time axis
+    sharded; communication per iteration is the same two nearest-neighbor
+    ``ppermute`` halo slabs as :func:`griffin_lim_seq`.
+    """
+    assert rho > 0
+    spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
+    if jnp.iscomplexobj(spec_tm):
+        cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
+    else:
+        cmplx_tm, target_tm = phase_init_tm(spec_tm, cfg), spec_tm
+    x = _run_seq(
+        target_tm,
+        cmplx_tm,
+        window,
+        jnp.asarray(rho, dtype=target_tm.dtype),
+        jnp.asarray(tol, dtype=target_tm.dtype),
+        cfg,
+        mesh,
+        max_iter=max_iter,
+        eva_iter=eva_iter,
+        shard_batch_axis=shard_batch_axis,
+        backend=backend,
+        algo="admm",
     )
     return restore_output(x, was_2d)

@@ -114,15 +114,31 @@ def test_supports_predicate():
     assert not gl_fused.supports(cfg2, jnp.asarray(w2))
 
 
+@pytest.mark.parametrize("backend", ["pallas", "pallas4"])
 @pytest.mark.parametrize("rho", [0.1, 1.0])
-def test_admm_parity(rho):
+def test_admm_parity(rho, backend):
     from specinv_tpu import ADMM
 
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)
     kw = dict(hop_length=128, max_iter=6, tol=0.0, rho=rho, verbose=False)
     a = np.asarray(ADMM(spec, backend="fft", **kw))
-    b = np.asarray(ADMM(spec, backend="pallas", **kw))
+    b = np.asarray(ADMM(spec, backend=backend, **kw))
+    np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
+
+
+def test_admm_pallas4_early_stop_path():
+    """tol>0 exercises the per-iteration four-step ADMM kernel + the eval/
+    stop machinery (tol tiny enough that no boundary-sensitive stop fires —
+    a near-threshold tol can legitimately stop different backends at
+    different evals under bf16x3 rounding)."""
+    from specinv_tpu import ADMM
+
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(hop_length=128, max_iter=6, tol=1e-30, eva_iter=3, verbose=False)
+    a = np.asarray(ADMM(spec, backend="fft", **kw))
+    b = np.asarray(ADMM(spec, backend="pallas4", **kw))
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
@@ -137,7 +153,7 @@ def test_admm_batched_parity():
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
-@pytest.mark.parametrize("which", ["gl", "gl4", "admm"])
+@pytest.mark.parametrize("which", ["gl", "gl4", "admm", "admm4"])
 def test_gradients_match_xla_path(which):
     """backend='pallas' is differentiable: custom_vjp routes the backward
     through the XLA twin of the kernel math."""
@@ -147,8 +163,8 @@ def test_gradients_match_xla_path(which):
 
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)
-    fn = ADMM if which == "admm" else griffin_lim
-    backend = "pallas4" if which == "gl4" else "pallas"
+    fn = ADMM if which.startswith("admm") else griffin_lim
+    backend = "pallas4" if which.endswith("4") else "pallas"
     kw = dict(hop_length=128, max_iter=3, tol=0.0, verbose=False)
 
     def loss(s, backend):

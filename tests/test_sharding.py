@@ -13,7 +13,7 @@ import torch
 from specinv_tpu import ADMM, griffin_lim
 from specinv_tpu.parallel.batch import batched
 from specinv_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
-from specinv_tpu.parallel.seq import griffin_lim_seq
+from specinv_tpu.parallel.seq import admm_seq, griffin_lim_seq
 
 from .helpers import make_signal, torch_stft
 
@@ -48,6 +48,25 @@ def test_batched_dp_admm():
     spec = _spec(batch=8)
     ref = np.asarray(ADMM(spec, max_iter=6, tol=0.0, verbose=False))
     out = batched(ADMM, mesh)(spec, max_iter=6, tol=0.0, verbose=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
+def test_batched_dp_pallas_kernel_per_shard():
+    """VERDICT r1 item 2: the fused kernel runs per-shard under shard_map
+    (no GSPMD rule needed) — BASELINE config 5's fastest path."""
+    mesh = make_mesh(data=8, seq=1)
+    spec = _spec(batch=8, nfft=512)
+    kw = dict(max_iter=4, tol=0.0, verbose=False, backend="pallas4")
+    ref = np.asarray(griffin_lim(spec, **kw))
+    out = batched(griffin_lim, mesh)(spec, **kw)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
+def test_batched_dp_gspmd_mode():
+    mesh = make_mesh(data=8, seq=1)
+    spec = _spec(batch=8)
+    ref = np.asarray(griffin_lim(spec, max_iter=6, tol=0.0, verbose=False))
+    out = batched(griffin_lim, mesh, gspmd=True)(spec, max_iter=6, tol=0.0, verbose=False)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
 
 
@@ -121,6 +140,41 @@ def test_seq_parallel_moderate_tol_stops_same_iteration():
     )
     out = np.asarray(griffin_lim_seq(spec, mesh, max_iter=60, tol=3e-3, eva_iter=5))
     np.testing.assert_allclose(out, ref, atol=1e-4 * np.abs(ref).max())
+
+
+def test_admm_seq_matches_unsharded():
+    """VERDICT r1 item 5: ADMM sequence-parallel (closure swap + the dual
+    masking for padded rows)."""
+    mesh = make_mesh(data=1, seq=4)
+    x = make_signal((22050,))
+    spec = np.abs(torch_stft(x, 512))
+    ref = np.asarray(ADMM(spec, max_iter=8, tol=0.0, verbose=False))
+    out = np.asarray(admm_seq(spec, mesh, max_iter=8, tol=0.0))
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_admm_seq_early_stop_matches():
+    mesh = make_mesh(data=1, seq=4)
+    x = make_signal((22050,))
+    spec = np.abs(torch_stft(x, 512))
+    ref = np.asarray(ADMM(spec, max_iter=30, tol=1e-3, eva_iter=5, verbose=False))
+    out = np.asarray(admm_seq(spec, mesh, max_iter=30, tol=1e-3, eva_iter=5))
+    # 1e-8: f64 reduction-order noise through 30 iterations of halo adds
+    np.testing.assert_allclose(out, ref, atol=1e-8)
+
+
+def test_seq_pallas_kernel_matches_unsharded():
+    """VERDICT r1 item 5: the fused four-step kernel runs inside the seq
+    shard body (normalize deferred until after the halo exchange)."""
+    mesh = make_mesh(data=1, seq=4)
+    x = make_signal((22050,), dtype=np.float32)
+    spec = np.abs(torch_stft(x, 512, hop_length=128)).astype(np.float32)
+    kw = dict(max_iter=6, tol=0.0, hop_length=128)
+    ref = np.asarray(
+        griffin_lim(spec, verbose=False, backend="pallas4", **kw)
+    )
+    out = np.asarray(griffin_lim_seq(spec, mesh, backend="pallas4", **kw))
+    np.testing.assert_allclose(out, ref, atol=5e-3 * np.abs(ref).max())
 
 
 def test_seq_too_many_shards_raises():
