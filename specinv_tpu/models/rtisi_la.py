@@ -177,26 +177,6 @@ def run_tm(
     # Pad the target by `la` frames on both sides of the time axis (339).
     target_pad = jnp.pad(target_tm, ((0, 0), (la, la), (0, 0)))
 
-    if backend == "pallas":
-        from ..ops.pallas.rtisi_fused import fused_rtisi_stream
-
-        synth_coeff = hop / jnp.sum(window * window)
-        aw1, aw2 = _asym_windows(window, hop, num_keep, synth_coeff)
-        frames_seq = fused_rtisi_stream(
-            target_pad, window, aw1, aw2,
-            jnp.asarray(lr, jnp.float32), synth_coeff, cfg,
-            la=la, max_iter=max_iter, asymmetric_window=asymmetric_window,
-            interpret=jax.default_backend() == "cpu",
-        )  # (B, steps + la, n_fft)
-        all_xt = frames_seq[:, la:, :].astype(target_tm.dtype)
-        x = overlap_add(all_xt * window, hop)
-        envelope = make_envelope(cfg, window, steps)
-        p = cfg.pad_amount
-        if p:
-            x = x[..., p:-p]
-        envelope = jnp.where(envelope == 0, jnp.ones_like(envelope), envelope)
-        return x / envelope
-
     inv = partial(fourier.inverse, cfg=cfg, backend=backend)
 
     # First frame seeded with zero phase (352-358).
@@ -275,17 +255,18 @@ def RTISI_LA(
     spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
     num_keep = (cfg.n_fft - 1) // cfg.hop_length
     la = num_keep if look_ahead < 0 else look_ahead
-    # NOTE: unlike GL/ADMM, 'auto' does NOT promote to the fused kernel —
-    # RTISI's 4-row DFTs waste the MXU and the rows-aware FFT scan measures
-    # faster (1735 vs 1460 frames/s on the flagship config).
-    if backend == "pallas":
-        from ..ops.pallas import rtisi_fused
-
-        if not rtisi_fused.supports(cfg, window):
-            raise ValueError(
-                "pallas RTISI backend requires onesided, n_fft % 128 == 0, "
-                "num_keep >= 1, real window; use backend='auto' instead"
-            )
+    if backend in ("pallas", "pallas4"):
+        # A whole-stream fused kernel existed in round 1 and was REMOVED:
+        # interleaved A/B rounds measured it consistently 5-15% slower than
+        # the rows-aware FFT scan (e.g. 1893/2003/1585 vs 2002/2139/1844
+        # frames/s on the flagship config) — at (look_ahead+1)-row DFT
+        # granularity the chip is latency-bound and the kernel has no niche
+        # (both paths are a single launch).  See benchmarks.md.
+        raise ValueError(
+            "RTISI_LA has no Pallas backend (the fused stream kernel was "
+            "removed after measuring slower than the scan path); use "
+            "backend='auto'"
+        )
     lr = jnp.asarray(alpha / (1 + alpha), dtype=spec_tm.dtype)
     x = run_tm(
         spec_tm,

@@ -1,6 +1,6 @@
 from .batch import batched
 from .mesh import batch_sharding, make_mesh, shard_batch
-from .seq import griffin_lim_seq
+from .seq import admm_seq, griffin_lim_seq
 
 __all__ = [
     "batched",
@@ -8,4 +8,5 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "griffin_lim_seq",
+    "admm_seq",
 ]

@@ -179,62 +179,6 @@ def test_gradients_match_xla_path(which):
     assert rel < 5e-2, rel
 
 
-@pytest.mark.parametrize("la,asym", [(0, False), (2, False), (2, True)])
-def test_rtisi_fused_short_horizon_parity(la, asym):
-    """The fused RTISI stream matches the scan path on a short horizon at
-    HIGHEST precision (the causal recursion amplifies rounding ~x2/frame, so
-    long-horizon comparisons are quality-based — see next test)."""
-    import importlib
-
-    import jax
-
-    rt = importlib.import_module("specinv_tpu.models.rtisi_la")
-    from specinv_tpu.ops.framing import overlap_add
-    from specinv_tpu.ops.pallas.rtisi_fused import fused_rtisi_stream
-    from specinv_tpu.ops.stft import make_envelope
-
-    x = make_signal((3000,), dtype=np.float32)
-    spec = _mag(x, 512, 128)[:, :12]  # short horizon: ~x2/frame amplification
-    cfg, w = canonicalize(spec.shape[0], np.float32, hop_length=128)
-    wj = jnp.asarray(w)
-    tm = jnp.swapaxes(jnp.asarray(spec), -1, -2)[None]
-    lr = jnp.float32(0.99 / 1.99)
-    a = np.asarray(
-        rt.run_tm(tm, wj, lr, cfg, look_ahead=la, asymmetric_window=asym,
-                  max_iter=3, backend="fft")
-    )
-    tgt_pad = jnp.pad(tm, ((0, 0), (la, la), (0, 0)))
-    sc_ = 128 / jnp.sum(wj * wj)
-    aw1, aw2 = rt._asym_windows(wj, 128, (512 - 1) // 128, sc_)
-    fr = fused_rtisi_stream(
-        tgt_pad, wj, aw1, aw2, lr, sc_, cfg, la=la, max_iter=3,
-        asymmetric_window=asym, interpret=True,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    xx = overlap_add(fr[:, la:, :] * wj, 128)[..., 256:-256]
-    env = make_envelope(cfg, wj, tm.shape[1])
-    b = np.asarray(xx / jnp.where(env == 0, 1.0, env))
-    np.testing.assert_allclose(b, a, atol=2e-2 * np.abs(a).max())
-
-
-def test_rtisi_fused_quality_parity():
-    """Long-horizon: fused RTISI must converge to the same quality as the
-    scan path (trajectories diverge chaotically; SC must not)."""
-    from specinv_tpu import RTISI_LA, sc as sc_metric
-
-    x = make_signal((22050,), dtype=np.float32)
-    spec = _mag(x, 512, 128)
-
-    def q(y):
-        r = _mag(np.asarray(y), 512, 128)
-        return float(sc_metric(jnp.asarray(r), jnp.asarray(spec)))
-
-    kw = dict(look_ahead=3, max_iter=8, verbose=False, hop_length=128)
-    a = q(RTISI_LA(spec, backend="fft", **kw))
-    b = q(RTISI_LA(spec, backend="pallas", **kw))
-    assert abs(a - b) < 0.3, (a, b)
-
-
 def test_highest_precision_strict_parity():
     """With precision=HIGHEST the kernel matches the full-f32 XLA path
     tightly (the default HIGH/bf16x3 trades ~1e-4 rel divergence for 1.5x)."""
