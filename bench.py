@@ -105,8 +105,8 @@ def full_suite():
     print("| config | throughput | wall |")
     print("|---|---|---|")
     timed(
-        "ADMM 100 it (pallas)",
-        lambda: si.ADMM(mag, max_iter=100, tol=0.0, verbose=False, window=window, backend="pallas"),
+        "ADMM 100 it (auto = four-step fullrun)",
+        lambda: si.ADMM(mag, max_iter=100, tol=0.0, verbose=False, window=window),
         100,
     )
     timed(
@@ -123,14 +123,17 @@ def full_suite():
         200,
     )
     rng = np.random.default_rng(1)
-    for nf in (512, 1024, 2048):
+    for nf in (512, 1024, 2048, 4096):
         clips = rng.standard_normal((16, SR * 2)).astype(np.float32)
-        c2, w2 = canonicalize(nf // 2 + 1, np.float32)
+        win2 = np.hanning(nf + 1)[:-1].astype(np.float32)
+        c2, w2 = canonicalize(nf // 2 + 1, np.float32, window=win2)
         w2j = jnp.asarray(w2)
         m = jnp.swapaxes(jnp.abs(stft_ops.stft(jnp.asarray(clips), c2, w2j)), -1, -2)
         timed(
             f"batched-16 GL 100 it, n_fft={nf}",
-            lambda m=m: si.griffin_lim(m, max_iter=100, tol=0.0, verbose=False),
+            lambda m=m, win2=win2: si.griffin_lim(
+                m, max_iter=100, tol=0.0, verbose=False, window=win2
+            ),
             100,
         )
 

@@ -26,7 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import STFTConfig
 from . import fft4
-from .gl_fused import LANE, PROJ_EPS, _anti_identity, split_schemes
+from .gl_fused import (
+    LANE,
+    PROJ_EPS,
+    _anti_identity,
+    _repad_in_kernel,
+    split_schemes,
+)
 from .gl_fullrun4 import _repad_slab
 
 TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
@@ -160,8 +166,6 @@ def _kernel(
     @pl.when(t == n_t - 1)
     def _normalize():
         x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
-        from .gl_fused import _repad_in_kernel
-
         _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
 
 
