@@ -197,7 +197,7 @@ def admm_xla_twin4(
     from ..ops.pallas import fft4
     from ..ops.pallas.gl_fused import PROJ_EPS
 
-    x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
+    x_pad, Yr, Yi = state
     n_fft, hop = cfg.n_fft, cfg.hop_length
     m = n_fft // 128
     hi = precision or jax.lax.Precision.HIGHEST
@@ -209,29 +209,25 @@ def admm_xla_twin4(
     r_re = r_re.reshape(B, tp, m, 128)
     r_im = r_im.reshape(B, tp, m, 128)
     mag = jnp.sqrt(r_re * r_re + r_im * r_im + 1e-30)
-    inv1p = 1.0 / (1.0 + rho)
-    z_re = (rho * Yr + r_re) * inv1p
-    z_im = (rho * Yi + r_im) * inv1p
-    u_re = Ur + Xr - z_re
-    u_im = Ui + Xi - z_im
+    onep = 1.0 + rho  # true division, matching the XLA path bit-for-bit
+    z_re = (rho * Yr + r_re) / onep
+    z_im = (rho * Yi + r_im) / onep
+    u_re = Yr - z_re
+    u_im = Yi - z_im
     t_re = z_re - u_re
     t_im = z_im - u_im
     norm = jnp.sqrt(t_re * t_re + t_im * t_im + 1e-30) + PROJ_EPS
     gain = target_p / norm
-    xn_re = t_re * gain
-    xn_im = t_im * gain
-    yn_re = xn_re + u_re
-    yn_im = xn_im + u_im
+    yn_re = t_re * gain + u_re
+    yn_im = t_im * gain + u_im
     valid = (jnp.arange(tp) < valid_t)[None, :, None, None]
-    xn_re, xn_im = jnp.where(valid, xn_re, 0.0), jnp.where(valid, xn_im, 0.0)
     yn_re, yn_im = jnp.where(valid, yn_re, 0.0), jnp.where(valid, yn_im, 0.0)
-    u_re, u_im = jnp.where(valid, u_re, 0.0), jnp.where(valid, u_im, 0.0)
     fr = fft4.inv4_real(
         yn_re.reshape(B * tp, m, 128), yn_im.reshape(B * tp, m, 128), t, hi
     ).reshape(B, tp, n_fft)
     y = overlap_add(fr * window, hop) * inv_env
     y = repad_edges(y, cfg, geo)
-    return (y, xn_re, xn_im, yn_re, yn_im, u_re, u_im), mag
+    return (y, yn_re, yn_im), mag
 
 
 def admm_xla_twin(
@@ -245,7 +241,7 @@ def admm_xla_twin(
     from ..ops.framing import frame, overlap_add
     from ..ops.pallas.gl_fused import PROJ_EPS, _dft_tables
 
-    x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
+    x_pad, Yr, Yi = state
     n_fft, hop = cfg.n_fft, cfg.hop_length
     cos, sin, w = _dft_tables(n_fft, geo.f_pad, cfg.normalized)
     hi = precision or jax.lax.Precision.HIGHEST
@@ -254,27 +250,23 @@ def admm_xla_twin(
     r_re = jnp.matmul(frames, cos, precision=hi)
     r_im = -jnp.matmul(frames, sin, precision=hi)
     mag = jnp.sqrt(r_re * r_re + r_im * r_im + 1e-30)
-    inv1p = 1.0 / (1.0 + rho)
-    z_re = (rho * Yr + r_re) * inv1p
-    z_im = (rho * Yi + r_im) * inv1p
-    u_re = Ur + Xr - z_re
-    u_im = Ui + Xi - z_im
+    onep = 1.0 + rho  # true division, matching the XLA path bit-for-bit
+    z_re = (rho * Yr + r_re) / onep
+    z_im = (rho * Yi + r_im) / onep
+    u_re = Yr - z_re
+    u_im = Yi - z_im
     t_re = z_re - u_re
     t_im = z_im - u_im
     norm = jnp.sqrt(t_re * t_re + t_im * t_im + 1e-30) + PROJ_EPS
     gain = target_pad / norm
-    xn_re = t_re * gain
-    xn_im = t_im * gain
-    yn_re = xn_re + u_re
-    yn_im = xn_im + u_im
+    yn_re = t_re * gain + u_re
+    yn_im = t_im * gain + u_im
     valid = (jnp.arange(geo.t_pad) < valid_t)[None, :, None]
-    xn_re, xn_im = jnp.where(valid, xn_re, 0.0), jnp.where(valid, xn_im, 0.0)
     yn_re, yn_im = jnp.where(valid, yn_re, 0.0), jnp.where(valid, yn_im, 0.0)
-    u_re, u_im = jnp.where(valid, u_re, 0.0), jnp.where(valid, u_im, 0.0)
     contract = (((2,), (1,)), ((), ()))
     fr = jax.lax.dot_general(
         yn_re * w, cos, contract, precision=hi
     ) - jax.lax.dot_general(yn_im * w, sin, contract, precision=hi)
     y = overlap_add(fr * window, hop) * inv_env
     y = repad_edges(y, cfg, geo)
-    return (y, xn_re, xn_im, yn_re, yn_im, u_re, u_im), mag
+    return (y, yn_re, yn_im), mag

@@ -10,7 +10,11 @@ multipliers).  Update order preserved exactly (methods.py:464-477):
 with ``rho = 1`` behaving like Griffin-Lim, and the pre-projection magnitude
 ``|R|`` as the metric/stop output (methods.py:464-465).
 
-State is the 4-tuple pytree ``(X, Y, U, x)``; the loop runs fully on-device.
+State is the 4-tuple pytree ``(X, Y, U, x)`` on the XLA paths (kept in the
+reference's literal form as the parity anchor); the fused Pallas kernels use
+the bitwise-identical Douglas-Rachford one-variable reduction (only ``Y``
+persists — see ops/pallas/admm_fused4.py), which matches Griffin-Lim's state
+footprint.  The loop runs fully on-device.
 """
 from __future__ import annotations
 
@@ -42,8 +46,12 @@ def init(
     window: jnp.ndarray,
     envelope: Optional[jnp.ndarray] = None,
     backend: str = "auto",
+    precision=None,
 ) -> ADMMState:
-    x = istft(init_spec_tm, cfg, window, envelope=envelope, backend=backend)
+    x = istft(
+        init_spec_tm, cfg, window, envelope=envelope, backend=backend,
+        precision=precision,
+    )
     return ADMMState(
         X=init_spec_tm,
         Y=init_spec_tm,
@@ -60,21 +68,22 @@ def step(
     window: jnp.ndarray,
     envelope: jnp.ndarray,
     backend: str = "auto",
+    precision=None,
 ):
     """One ADMM iteration. Returns (state, pre-projection magnitude)."""
-    R = stft(state.x, cfg, window, backend=backend)
+    R = stft(state.x, cfg, window, backend=backend, precision=precision)
     output = jnp.abs(R)
     Z = (rho * state.Y + R) / (1 + rho)
     U = state.U + state.X - Z
     X = magnitude_project(Z - U, target_tm)
     Y = X + U
-    x = istft(Y, cfg, window, envelope=envelope, backend=backend)
+    x = istft(Y, cfg, window, envelope=envelope, backend=backend, precision=precision)
     return ADMMState(X=X, Y=Y, U=U, x=x), output
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -90,9 +99,13 @@ def run_tm(
     mode: str = "fori",
     backend: str = "auto",
     early_stop: bool = True,
+    precision=None,
 ) -> jnp.ndarray:
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
-    state = init(init_spec_tm, cfg, window, envelope=envelope, backend=backend)
+    state = init(
+        init_spec_tm, cfg, window, envelope=envelope, backend=backend,
+        precision=precision,
+    )
     step_fn = partial(
         step,
         target_tm=target_tm,
@@ -101,6 +114,7 @@ def run_tm(
         window=window,
         envelope=envelope,
         backend=backend,
+        precision=precision,
     )
     state = iterate(
         step_fn,
@@ -119,7 +133,7 @@ def run_tm(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "interpret", "early_stop"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "interpret", "early_stop", "precision"),
 )
 def run_tm_pallas(
     target_tm: jnp.ndarray,
@@ -134,11 +148,13 @@ def run_tm_pallas(
     verbose: bool = False,
     interpret: bool = False,
     early_stop: bool = True,
+    precision=None,
 ) -> jnp.ndarray:
     """ADMM driven by the fused Pallas iteration kernel; same numerics as
     :func:`run_tm` — see ops/pallas/admm_fused.py.  Differentiable via the
     XLA-twin custom_vjp (see griffin_lim.run_tm_pallas)."""
-    precision = fourier.default_precision()
+    if precision is None:
+        precision = fourier.default_precision()
     from ..ops.framing import pad_center
     from ..ops.pallas.admm_fused import fused_admm_iteration
     from ._pallas_driver import make_geometry, make_inv_env, pad_tf
@@ -148,38 +164,40 @@ def run_tm_pallas(
     inv_env = make_inv_env(cfg, window, T, geo)
 
     target_pad = pad_tf(target_tm, geo, T, F)
-    x_re = pad_tf(init_spec_tm.real, geo, T, F)
-    x_im = pad_tf(init_spec_tm.imag, geo, T, F)
-    state0 = (
-        None,  # placeholder; x filled below
-        x_re, x_im,            # X
-        x_re, x_im,            # Y (= X.clone(), methods.py:455)
-        jnp.zeros_like(x_re), jnp.zeros_like(x_im),  # U
-    )
+    y_re = pad_tf(init_spec_tm.real, geo, T, F)
+    y_im = pad_tf(init_spec_tm.imag, geo, T, F)
     x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
     x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
-    state0 = (x_pad0,) + state0[1:]
+    # DR-reduced state (see ops/pallas/admm_fused.py): Y0 = X0 since U0 = 0
+    # (methods.py:452-456); X and U are derived inside the kernel.
+    state0 = (x_pad0, y_re, y_im)
 
     from ._pallas_driver import admm_xla_twin
 
     @jax.custom_vjp
     def one_iter(state, tgt, win, env, rho_):
-        x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
-        x_pad, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration(
-            x_pad, Xr, Xi, Yr, Yi, Ur, Ui, tgt, win, env, rho_,
+        x_pad, Yr, Yi = state
+        x_pad, mag, Yr, Yi = fused_admm_iteration(
+            x_pad, Yr, Yi, tgt, win, env, rho_,
             cfg, valid_t=T, e=geo.e, block_t=geo.block_t, interpret=interpret,
             precision=precision,
         )
-        return (x_pad, Xr, Xi, Yr, Yi, Ur, Ui), mag
+        return (x_pad, Yr, Yi), mag
 
     def one_iter_fwd(state, tgt, win, env, rho_):
         return one_iter(state, tgt, win, env, rho_), (state, tgt, win, env, rho_)
+
+    # Kernel-only scheme strings map to HIGHEST for the XLA-twin backward.
+    twin_precision = (
+        precision if isinstance(precision, jax.lax.Precision)
+        else jax.lax.Precision.HIGHEST
+    )
 
     def one_iter_bwd(residuals, cotangents):
         state, tgt, win, env, rho_ = residuals
         _, vjp = jax.vjp(
             lambda s, t, w_, e_, r_: admm_xla_twin(
-                s, t, w_, e_, r_, cfg, geo, T, precision=precision
+                s, t, w_, e_, r_, cfg, geo, T, precision=twin_precision
             ),
             state, tgt, win, env, rho_,
         )
@@ -270,9 +288,9 @@ def run_tm_pallas4(
     if not with_mag:
         @jax.custom_vjp
         def full_run(state0, tgt, win, env, rho_):
-            x_pad0_, Xr0, Xi0 = state0
+            x_pad0_, Yr0, Yi0 = state0
             return fused_admm_run(
-                x_pad0_, Xr0, Xi0, tgt, win, env, rho_, cfg, valid_t=T,
+                x_pad0_, Yr0, Yi0, tgt, win, env, rho_, cfg, valid_t=T,
                 e=geo.e, n_iters=max_iter, block_t=geo.block_t,
                 interpret=interpret, precision=precision,
             )
@@ -286,9 +304,6 @@ def run_tm_pallas4(
             state0, tgt, win, env, rho_ = residuals
 
             def replay(state0_, tgt_, win_, env_, rho__):
-                x_, Xr, Xi = state0_
-                st = (x_, Xr, Xi, Xr, Xi, jnp.zeros_like(Xr), jnp.zeros_like(Xi))
-
                 def body(s, _):
                     s2, _mag = admm_xla_twin4(
                         s, tgt_, win_, env_, rho__, cfg, geo, T,
@@ -296,7 +311,7 @@ def run_tm_pallas4(
                     )
                     return s2, None
 
-                st_n, _ = jax.lax.scan(body, st, None, length=max_iter)
+                st_n, _ = jax.lax.scan(body, state0_, None, length=max_iter)
                 return st_n[0]
 
             _, vjp = jax.vjp(replay, state0, tgt, win, env, rho_)
@@ -309,13 +324,13 @@ def run_tm_pallas4(
 
     @jax.custom_vjp
     def one_iter(state, tgt, win, env, rho_):
-        x_pad, Xr, Xi, Yr, Yi, Ur, Ui = state
-        x_pad, mag, Xr, Xi, Yr, Yi, Ur, Ui = fused_admm_iteration4(
-            x_pad, Xr, Xi, Yr, Yi, Ur, Ui, tgt, win, env, rho_, cfg,
+        x_pad, Yr, Yi = state
+        x_pad, mag, Yr, Yi = fused_admm_iteration4(
+            x_pad, Yr, Yi, tgt, win, env, rho_, cfg,
             valid_t=T, e=geo.e, block_t=geo.block_t, interpret=interpret,
             precision=precision, with_mag=True,
         )
-        return (x_pad, Xr, Xi, Yr, Yi, Ur, Ui), mag
+        return (x_pad, Yr, Yi), mag
 
     def one_iter_fwd(state, tgt, win, env, rho_):
         return one_iter(state, tgt, win, env, rho_), (state, tgt, win, env, rho_)
@@ -337,10 +352,7 @@ def run_tm_pallas4(
         mag = fft4.from_permuted(mag, n_fft)[:, :T, :F]
         return state, mag
 
-    state0 = (
-        x_pad0, x0_re, x0_im, x0_re, x0_im,
-        jnp.zeros_like(x0_re), jnp.zeros_like(x0_im),
-    )
+    state0 = (x_pad0, x0_re, x0_im)  # DR state: Y0 = X0, U0 = 0
     state = iterate(
         step,
         state0,
@@ -358,7 +370,7 @@ def run_tm_pallas4(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision"),
 )
 def _full_run(
     spec_b3: jnp.ndarray,
@@ -373,6 +385,7 @@ def _full_run(
     mode: str,
     backend: str,
     early_stop: bool,
+    precision=None,
 ) -> jnp.ndarray:
     spec_tm = jnp.swapaxes(spec_b3, -1, -2)
     if jnp.iscomplexobj(spec_tm):
@@ -393,6 +406,7 @@ def _full_run(
             verbose=verbose,
             interpret=jax.default_backend() == "cpu",
             early_stop=early_stop,
+            precision=precision,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -408,6 +422,7 @@ def _full_run(
             verbose=verbose,
             interpret=jax.default_backend() == "cpu",
             early_stop=early_stop,
+            precision=precision,
         )
     return run_tm.__wrapped__(
         target_tm,
@@ -423,6 +438,7 @@ def _full_run(
         mode=mode,
         backend=backend,
         early_stop=early_stop,
+        precision=precision if isinstance(precision, jax.lax.Precision) else None,
     )
 
 
@@ -436,9 +452,15 @@ def ADMM(
     metric: str = "sc",
     mode: str = "fori",
     backend: str = "auto",
+    precision=None,
     **stft_kwargs,
 ):
-    """Reference-parity entry point (methods.py:415-506)."""
+    """Reference-parity entry point (methods.py:415-506).
+
+    ``mode``/``backend``/``precision`` are the same TPU-specific knobs as on
+    :func:`specinv_tpu.griffin_lim` (precision accepts a ``jax.lax.Precision``
+    or, on the pallas backends, a bf16 scheme string / per-direction tuple).
+    """
     assert eva_iter > 0 and max_iter > 0 and tol >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
     from ..ops.pallas import gl_fused, gl_fused4
@@ -473,6 +495,7 @@ def ADMM(
         mode=mode,
         backend=backend,
         early_stop=bool(tol > 0),
+        precision=precision,
     )
     return restore_output(x, was_2d)
 

@@ -9,8 +9,12 @@ momentum/projection middle replaced by the reference's ADMM update chain
     R = stft(x);  Z = (rho*Y + R)/(1+rho);  U += X - Z
     X = proj_mag(Z - U);  Y = X + U;  x = istft(Y)
 
-State planes (X, Y, U as real/imag pairs) ride through HBM between
-iterations; frames and the spectrum stay in VMEM.
+carried in its Douglas-Rachford one-variable reduction: since ``Y = X + U``
+by construction, ``U' = U + X - Z = Y - Z`` and only ``Y`` needs to persist
+(bitwise identical to the full chain — ``fl(U+X) = fl(X+U)`` is the stored
+``Y`` plane and every surviving op keeps its order; see admm_fused4).  One
+complex state plane rides through HBM between iterations; frames and the
+spectrum stay in VMEM.
 """
 from __future__ import annotations
 
@@ -38,9 +42,7 @@ def _kernel(
     rho_ref,       # SMEM (1, 1)
     x_ref,         # (1, 1, Lx)
     tgt_ref,       # (1, BT, LANE)
-    x_sre_ref, x_sim_ref,   # X state (1, BT, LANE)
-    y_sre_ref, y_sim_ref,   # Y state
-    u_sre_ref, u_sim_ref,   # U state
+    y_sre_ref, y_sim_ref,   # Y state (1, BT, LANE) — the only spectral state
     cos_ref, sin_ref,       # (n_fft, LANE)
     w_ref,                  # (1, LANE)
     win_ref,                # (1, n_fft)
@@ -48,9 +50,7 @@ def _kernel(
     jrev_ref,               # (P, P) anti-identity or dummy
     x_out_ref,              # (1, 1, Lx)
     mag_ref,                # (1, BT, LANE)
-    nx_re_ref, nx_im_ref,
     ny_re_ref, ny_im_ref,
-    nu_re_ref, nu_im_ref,
     frames_s,               # VMEM (BT, n_fft)
     acc_s,                  # VMEM (BT, n_fft)
     *,
@@ -101,21 +101,19 @@ def _kernel(
     mag_ref[0] = jnp.sqrt(r_re * r_re + r_im * r_im)  # |R| pre-update (464-465)
 
     rho = rho_ref[0, 0]
-    inv1p = 1.0 / (1.0 + rho)
-    z_re = (rho * y_sre_ref[0] + r_re) * inv1p
-    z_im = (rho * y_sim_ref[0] + r_im) * inv1p
-    u_re = u_sre_ref[0] + x_sre_ref[0] - z_re
-    u_im = u_sim_ref[0] + x_sim_ref[0] - z_im
+    onep = 1.0 + rho  # true division, matching the XLA path bit-for-bit
+    z_re = (rho * y_sre_ref[0] + r_re) / onep
+    z_im = (rho * y_sim_ref[0] + r_im) / onep
+    u_re = y_sre_ref[0] - z_re
+    u_im = y_sim_ref[0] - z_im
 
     t_re = z_re - u_re
     t_im = z_im - u_im
     norm = jnp.sqrt(t_re * t_re + t_im * t_im) + PROJ_EPS
     gain = tgt_ref[0] / norm
-    xn_re = t_re * gain
-    xn_im = t_im * gain
 
-    ynew_re = xn_re + u_re
-    ynew_im = xn_im + u_im
+    ynew_re = t_re * gain + u_re
+    ynew_im = t_im * gain + u_im
 
     # Zero-padded frame rows (row >= T) must stay inert: unlike Griffin-Lim,
     # where projection onto a zero target kills them, ADMM's dual update gives
@@ -123,19 +121,11 @@ def _kernel(
     # signal.  Mask both the state and the synthesis operand.
     row = t * block_t + jax.lax.broadcasted_iota(jnp.int32, (block_t, LANE), 0)
     valid = row < valid_t
-    xn_re = jnp.where(valid, xn_re, 0.0)
-    xn_im = jnp.where(valid, xn_im, 0.0)
     ynew_re = jnp.where(valid, ynew_re, 0.0)
     ynew_im = jnp.where(valid, ynew_im, 0.0)
-    u_re = jnp.where(valid, u_re, 0.0)
-    u_im = jnp.where(valid, u_im, 0.0)
 
-    nx_re_ref[0] = xn_re
-    nx_im_ref[0] = xn_im
     ny_re_ref[0] = ynew_re
     ny_im_ref[0] = ynew_im
-    nu_re_ref[0] = u_re
-    nu_im_ref[0] = u_im
 
     wv = w_ref[0, :]
     contract = (((1,), (1,)), ((), ()))
@@ -174,7 +164,7 @@ def _kernel(
 
 def fused_admm_iteration(
     x_pad: jnp.ndarray,          # (B, Lx)
-    X_re, X_im, Y_re, Y_im, U_re, U_im,  # (B, T_pad, F_pad) each
+    Y_re, Y_im,                  # (B, T_pad, F_pad) each — DR state
     target: jnp.ndarray,         # (B, T_pad, F_pad)
     window: jnp.ndarray,
     inv_env: jnp.ndarray,        # (Lx,)
@@ -186,7 +176,7 @@ def fused_admm_iteration(
     interpret: bool = False,
     precision=jax.lax.Precision.HIGH,
 ):
-    """One fused ADMM iteration -> (x_div, mag, X_re, X_im, Y_re, Y_im, U_re, U_im).
+    """One fused ADMM iteration -> (x_div, mag, Y_re, Y_im).
 
     ``valid_t`` is the true frame count T; rows beyond it are zero padding.
     """
@@ -222,17 +212,17 @@ def fused_admm_iteration(
             pl.BlockSpec(memory_space=pltpu.SMEM),                # rho
             sig,                                                  # x
             blk,                                                  # target
-            blk, blk, blk, blk, blk, blk,                          # X/Y/U re+im
+            blk, blk,                                             # Y re+im
             mat, mat,                                             # cos, sin
             pl.BlockSpec((1, LANE), lambda b, t, f: (0, f)),      # w
             pl.BlockSpec((1, n_fft), lambda b, t, f: (0, 0)),     # window
             const_sig,                                            # inv_env
             pl.BlockSpec(jrev.shape, lambda b, t, f: (0, 0)),     # jrev
         ],
-        out_specs=[sig, blk, blk, blk, blk, blk, blk, blk],
+        out_specs=[sig, blk, blk, blk],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, lx), jnp.float32),
-            *[jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32)] * 7,
+            *[jax.ShapeDtypeStruct((B, t_pad, f_pad), jnp.float32)] * 3,
         ],
         scratch_shapes=[
             pltpu.VMEM((block_t, n_fft), jnp.float32),
@@ -243,7 +233,7 @@ def fused_admm_iteration(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * t_pad * n_fft * f_pad * 2,
-            bytes_accessed=4 * (2 * B * lx + 15 * B * t_pad * f_pad + 2 * n_fft * f_pad),
+            bytes_accessed=4 * (2 * B * lx + 7 * B * t_pad * f_pad + 2 * n_fft * f_pad),
             transcendentals=2 * B * t_pad * f_pad,
         ),
         interpret=interpret,
@@ -251,9 +241,7 @@ def fused_admm_iteration(
         jnp.asarray(rho, jnp.float32).reshape(1, 1),
         x_pad.astype(jnp.float32).reshape(B, 1, lx),
         target.astype(jnp.float32),
-        X_re.astype(jnp.float32), X_im.astype(jnp.float32),
         Y_re.astype(jnp.float32), Y_im.astype(jnp.float32),
-        U_re.astype(jnp.float32), U_im.astype(jnp.float32),
         jnp.asarray(cos),
         jnp.asarray(sin),
         jnp.asarray(w),

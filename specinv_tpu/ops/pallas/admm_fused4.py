@@ -7,12 +7,25 @@ Griffin-Lim middle replaced by the reference's ADMM update chain
     R = stft(x);  Z = (rho*Y + R)/(1+rho);  U += X - Z
     X = proj_mag(Z - U);  Y = X + U;  x = istft(Y)
 
+The kernel state is the *Douglas-Rachford one-variable reduction* of that
+chain.  Since ``Y = X + U`` by construction, the dual update collapses to
+``U' = U + X - Z = Y - Z`` and the whole recursion only needs ``Y``:
+
+    Z  = (rho*Y + R)/(1+rho)
+    U' = Y - Z                       # == U + X - Z bitwise: fl(U+X) = fl(X+U) = stored Y
+    Y' = proj_mag(Z - U') + U'       # X' = proj_mag(Z - U') never stored
+
+This is *bitwise identical* to carrying (X, Y, U) — the stored ``Y`` plane
+equals ``fl(X + U)`` exactly and every surviving op keeps its order — but
+cuts the HBM/VMEM state from six f32 planes to two (the same footprint as
+the Griffin-Lim kernels), which is most of the GL-vs-ADMM throughput gap.
+
 The iteration runs in Hermitian-extended full-spectrum space (permuted
 (m, 128) bin layout, see fft4): every update is elementwise per bin against
 a mirrored target, so symmetry — and hence exact equivalence with the
 onesided iteration — is preserved.  Rows >= valid_t are zero padding and are
-masked after the dual update (unlike GL, ADMM's dual would otherwise give
-padded rows Y = -R/(1+rho) != 0 and overlap-add garbage).
+masked after the update (unlike GL, ADMM's dual would otherwise give padded
+rows Y = -R/(1+rho) != 0 and overlap-add garbage).
 """
 from __future__ import annotations
 
@@ -39,40 +52,32 @@ TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
 
 def _admm_middle(
-    r_re, r_im, x_sre, x_sim, y_sre, y_sim, u_sre, u_sim, tgt, rho,
+    r_re, r_im, y_sre, y_sim, tgt, rho,
     row0, valid_t: int, block_t: int, m: int,
 ):
-    """The elementwise ADMM update chain on (block_t, m, 128) planes."""
-    inv1p = 1.0 / (1.0 + rho)
-    z_re = (rho * y_sre + r_re) * inv1p
-    z_im = (rho * y_sim + r_im) * inv1p
-    u_re = u_sre + x_sre - z_re
-    u_im = u_sim + x_sim - z_im
+    """The elementwise DR-reduced ADMM update on (block_t, m, 128) planes."""
+    onep = 1.0 + rho  # true division, matching the XLA path bit-for-bit
+    z_re = (rho * y_sre + r_re) / onep
+    z_im = (rho * y_sim + r_im) / onep
+    u_re = y_sre - z_re
+    u_im = y_sim - z_im
     t_re = z_re - u_re
     t_im = z_im - u_im
     norm = jnp.sqrt(t_re * t_re + t_im * t_im) + PROJ_EPS
     gain = tgt / norm
-    xn_re = t_re * gain
-    xn_im = t_im * gain
-    yn_re = xn_re + u_re
-    yn_im = xn_im + u_im
+    yn_re = t_re * gain + u_re
+    yn_im = t_im * gain + u_im
     row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_t, m, LANE), 0)
     valid = row < valid_t
     z = jnp.float32(0.0)
-    return (
-        jnp.where(valid, xn_re, z), jnp.where(valid, xn_im, z),
-        jnp.where(valid, yn_re, z), jnp.where(valid, yn_im, z),
-        jnp.where(valid, u_re, z), jnp.where(valid, u_im, z),
-    )
+    return jnp.where(valid, yn_re, z), jnp.where(valid, yn_im, z)
 
 
 def _kernel(
     rho_ref,       # SMEM (1, 1)
     x_ref,         # (1, 1, Lx)
     tgt_ref,       # (1, BT, m, 128)
-    x_sre_ref, x_sim_ref,   # X (1, BT, m, 128)
-    y_sre_ref, y_sim_ref,   # Y
-    u_sre_ref, u_sim_ref,   # U
+    y_sre_ref, y_sim_ref,   # Y (1, BT, m, 128) — the only spectral state
     *rest,
     block_t: int,
     n_fft: int,
@@ -91,11 +96,9 @@ def _kernel(
     win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
     outs = rest[ntab + 3 :]
     if with_mag:
-        (x_out_ref, nx_re_ref, nx_im_ref, ny_re_ref, ny_im_ref,
-         nu_re_ref, nu_im_ref, mag_ref, frames_s) = outs
+        (x_out_ref, ny_re_ref, ny_im_ref, mag_ref, frames_s) = outs
     else:
-        (x_out_ref, nx_re_ref, nx_im_ref, ny_re_ref, ny_im_ref,
-         nu_re_ref, nu_im_ref, frames_s) = outs
+        (x_out_ref, ny_re_ref, ny_im_ref, frames_s) = outs
 
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -129,17 +132,12 @@ def _kernel(
     if with_mag:
         mag_ref[0] = jnp.sqrt(r_re * r_re + r_im * r_im)
 
-    xn_re, xn_im, yn_re, yn_im, u_re, u_im = _admm_middle(
-        r_re, r_im, x_sre_ref[0], x_sim_ref[0], y_sre_ref[0], y_sim_ref[0],
-        u_sre_ref[0], u_sim_ref[0], tgt_ref[0], rho_ref[0, 0],
+    yn_re, yn_im = _admm_middle(
+        r_re, r_im, y_sre_ref[0], y_sim_ref[0], tgt_ref[0], rho_ref[0, 0],
         t * block_t, valid_t, block_t, m,
     )
-    nx_re_ref[0] = xn_re
-    nx_im_ref[0] = xn_im
     ny_re_ref[0] = yn_re
     ny_im_ref[0] = yn_im
-    nu_re_ref[0] = u_re
-    nu_im_ref[0] = u_im
 
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
@@ -170,14 +168,14 @@ def _kernel(
 
 
 def fused_admm_iteration4(
-    x_pad, X_re, X_im, Y_re, Y_im, U_re, U_im, target, window, inv_env, rho,
+    x_pad, Y_re, Y_im, target, window, inv_env, rho,
     cfg: STFTConfig, valid_t: int, e: int, block_t: int = 64,
     interpret: bool = False, precision=jax.lax.Precision.HIGH,
     with_mag: bool = True,
 ):
-    """One fused four-step ADMM iteration.
+    """One fused four-step DR-reduced ADMM iteration.
 
-    Returns ``(x_pad, mag_p|None, X_re, X_im, Y_re, Y_im, U_re, U_im)``.
+    Returns ``(x_pad, mag_p|None, Y_re, Y_im)``.
     """
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -205,10 +203,10 @@ def fused_admm_iteration4(
     sig = pl.BlockSpec((1, 1, lx), lambda b, t: (b, 0, 0))
     const_sig = pl.BlockSpec((1, 1, lx), lambda b, t: (0, 0, 0))
 
-    out_specs = [sig] + [blk] * 6
+    out_specs = [sig] + [blk] * 2
     out_shape = [jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)] + [
         jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
-    ] * 6
+    ] * 2
     if with_mag:
         out_specs.append(blk)
         out_shape.append(jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32))
@@ -221,7 +219,7 @@ def fused_admm_iteration4(
             pl.BlockSpec(memory_space=pltpu.SMEM),              # rho
             sig,                                                # x
             blk,                                                # target
-            blk, blk, blk, blk, blk, blk,                       # X/Y/U re+im
+            blk, blk,                                           # Y re+im
             *[
                 pl.BlockSpec(tables[k].shape, lambda b, t: (0, 0))
                 for k in TABLE_KEYS
@@ -238,7 +236,7 @@ def fused_admm_iteration4(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * t_pad * macs_frame,
-            bytes_accessed=4 * (2 * B * lx + 14 * B * t_pad * n_fft),
+            bytes_accessed=4 * (2 * B * lx + (5 + with_mag) * B * t_pad * n_fft),
             transcendentals=(1 + with_mag) * B * t_pad * n_fft,
         ),
         interpret=interpret,
@@ -246,20 +244,18 @@ def fused_admm_iteration4(
         jnp.asarray(rho, jnp.float32).reshape(1, 1),
         x_pad.astype(jnp.float32).reshape(B, 1, lx),
         target.astype(jnp.float32),
-        X_re.astype(jnp.float32), X_im.astype(jnp.float32),
         Y_re.astype(jnp.float32), Y_im.astype(jnp.float32),
-        U_re.astype(jnp.float32), U_im.astype(jnp.float32),
         *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
         jnp.asarray(window, jnp.float32).reshape(1, n_fft),
         jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
         jnp.asarray(jrev),
     )
     if with_mag:
-        x_raw, nx_re, nx_im, ny_re, ny_im, nu_re, nu_im, mag = out
+        x_raw, ny_re, ny_im, mag = out
     else:
-        x_raw, nx_re, nx_im, ny_re, ny_im, nu_re, nu_im = out
+        x_raw, ny_re, ny_im = out
         mag = None
-    return (x_raw.reshape(B, lx), mag, nx_re, nx_im, ny_re, ny_im, nu_re, nu_im)
+    return (x_raw.reshape(B, lx), mag, ny_re, ny_im)
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +266,7 @@ def _kernel_full(
     rho_ref,
     x0_ref,        # (1, 1, Lx)
     tgt_ref,       # (1, t_pad, m, 128)
-    x0_sre_ref, x0_sim_ref,   # initial X (= initial Y; U starts at 0)
+    y0_sre_ref, y0_sim_ref,   # initial Y (= initial X; U starts at 0)
     *rest,
     block_t: int,
     n_fft: int,
@@ -288,7 +284,7 @@ def _kernel_full(
     tab_refs = rest[:ntab]
     win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
     x_out_ref = rest[ntab + 3]
-    (x_s, xs_re, xs_im, ys_re, ys_im, us_re, us_im, frames_s) = rest[ntab + 4 :]
+    (x_s, ys_re, ys_im, frames_s) = rest[ntab + 4 :]
 
     i = pl.program_id(1)
     t = pl.program_id(2)
@@ -308,12 +304,8 @@ def _kernel_full(
 
     @pl.when(i == 0)
     def _init_state():
-        xs_re[sl] = x0_sre_ref[0, sl]
-        xs_im[sl] = x0_sim_ref[0, sl]
-        ys_re[sl] = x0_sre_ref[0, sl]
-        ys_im[sl] = x0_sim_ref[0, sl]
-        us_re[sl] = jnp.zeros((block_t, m, LANE), jnp.float32)
-        us_im[sl] = jnp.zeros((block_t, m, LANE), jnp.float32)
+        ys_re[sl] = y0_sre_ref[0, sl]
+        ys_im[sl] = y0_sim_ref[0, sl]
 
     @pl.when(t == 0)
     def _zero_write_slab():
@@ -338,17 +330,12 @@ def _kernel_full(
         jax.lax.fori_loop(0, block_t, body, 0)
 
     r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
-    xn_re, xn_im, yn_re, yn_im, u_re, u_im = _admm_middle(
-        r_re, r_im, xs_re[sl], xs_im[sl], ys_re[sl], ys_im[sl],
-        us_re[sl], us_im[sl], tgt_ref[0, sl], rho_ref[0, 0],
+    yn_re, yn_im = _admm_middle(
+        r_re, r_im, ys_re[sl], ys_im[sl], tgt_ref[0, sl], rho_ref[0, 0],
         t * block_t, valid_t, block_t, m,
     )
-    xs_re[sl] = xn_re
-    xs_im[sl] = xn_im
     ys_re[sl] = yn_re
     ys_im[sl] = yn_im
-    us_re[sl] = u_re
-    us_im[sl] = u_im
 
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
@@ -383,14 +370,15 @@ def _kernel_full(
 
 
 def fused_admm_run(
-    x_pad, X_re, X_im, target, window, inv_env, rho,
+    x_pad, Y_re, Y_im, target, window, inv_env, rho,
     cfg: STFTConfig, valid_t: int, e: int, n_iters: int, block_t: int = 64,
     interpret: bool = False, precision=jax.lax.Precision.HIGH,
 ):
     """Run ``n_iters`` fused ADMM iterations in one launch -> final x_pad.
 
-    Initial state per the reference (methods.py:452-456): ``Y = X`` (the
-    seeded complex spectrum, passed as X_re/X_im), ``U = 0``.
+    Initial state per the reference (methods.py:452-456): ``Y = X`` = the
+    seeded complex spectrum (passed as Y_re/Y_im), ``U = 0`` — so the DR
+    variable starts at the seeded spectrum.
     """
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -426,7 +414,7 @@ def fused_admm_run(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # rho
             sig,                                                 # x0
-            blk, blk, blk,                                       # tgt, X0
+            blk, blk, blk,                                       # tgt, Y0
             *[
                 pl.BlockSpec(tables[k].shape, lambda b, i, t: (0, 0))
                 for k in TABLE_KEYS
@@ -439,7 +427,7 @@ def fused_admm_run(
         out_shape=[jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((2, lx), jnp.float32),
-            *[pltpu.VMEM((t_pad, m, LANE), jnp.float32)] * 6,
+            *[pltpu.VMEM((t_pad, m, LANE), jnp.float32)] * 2,
             pltpu.VMEM((block_t, n_fft), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -455,7 +443,7 @@ def fused_admm_run(
         jnp.asarray(rho, jnp.float32).reshape(1, 1),
         x_pad.astype(jnp.float32).reshape(B, 1, lx),
         target.astype(jnp.float32),
-        X_re.astype(jnp.float32), X_im.astype(jnp.float32),
+        Y_re.astype(jnp.float32), Y_im.astype(jnp.float32),
         *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
         jnp.asarray(window, jnp.float32).reshape(1, n_fft),
         jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),

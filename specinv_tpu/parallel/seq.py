@@ -188,22 +188,21 @@ def _run_seq(
         valid_rows = (idx * Ts_local + jnp.arange(Ts_local) < T)[None, :, None]
 
         def admm_step(state):
-            x_chunk, X, Y, U = state
+            # DR-reduced ADMM (see ops/pallas/admm_fused4.py): Y = X + U by
+            # construction, so U' = U + X - Z = Y - Z and only Y persists.
+            x_chunk, Y = state
             frames = frame(extend(x_chunk), n_fft, hop)
             R = fwd(frames * window_)
             out = jnp.abs(R)
             Z = (lr_ * Y + R) / (1 + lr_)          # lr_ carries rho here
-            U = U + X - Z
+            U = Y - Z
             Tz = Z - U
-            Xn = Tz * (tgt_loc / (jnp.abs(Tz) + PROJ_EPS))
-            Yn = Xn + U
+            Yn = Tz * (tgt_loc / (jnp.abs(Tz) + PROJ_EPS)) + U
             # padded rows (>= T) must stay inert: ADMM's dual gives them
             # Y = -R/(1+rho) != 0 which would OLA garbage into real samples
-            Xn = jnp.where(valid_rows, Xn, 0.0)
             Yn = jnp.where(valid_rows, Yn, 0.0)
-            U = jnp.where(valid_rows, U, 0.0)
             y = overlap_add(inv(Yn) * window_, hop)
-            return (finish_signal(y), Xn, Yn, U), out
+            return (finish_signal(y), Yn), out
 
         def gl_step_pallas(state):
             # per-shard fused four-step kernel: framing/DFT/momentum/
@@ -242,7 +241,7 @@ def _run_seq(
 
         if algo == "admm":
             step = admm_step
-            state0 = (x_chunk0, pre0, pre0, jnp.zeros_like(pre0))
+            state0 = (x_chunk0, pre0)  # DR state: Y0 = X0 (U0 = 0)
         elif use_pallas:
             from ..ops.pallas import fft4
 

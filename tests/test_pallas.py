@@ -205,6 +205,36 @@ def test_highest_precision_strict_parity():
     np.testing.assert_allclose(b, a, atol=5e-5 * np.abs(a).max())
 
 
+@pytest.mark.parametrize("algo", ["gl", "admm"])
+@pytest.mark.parametrize("backend", ["pallas", "pallas4"])
+@pytest.mark.parametrize("tol", [0.0, 1e-30])
+def test_highest_precision_strict_parity_all_kernels(algo, backend, tol):
+    """Strict full-f32 parity for every fused kernel family and both loop
+    shapes: tol=0 takes the whole-run kernel on pallas4 (single launch),
+    tol=1e-30 the per-iteration kernel + eval machinery.
+
+    ADMM gets a 10x wider band than GL: its dual update integrates
+    representation-level rounding (real-pair vs complex hypot/division), so
+    even the two pure-XLA backends drift 3e-5 apart after 6 iterations where
+    GL's drift 4e-6 (measured); the kernel sits within that same
+    amplification factor.
+    """
+    import jax
+
+    from specinv_tpu import ADMM
+
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    fn = ADMM if algo == "admm" else griffin_lim
+    tol_scale = 5e-4 if algo == "admm" else 5e-5
+    kw = dict(hop_length=128, max_iter=6, tol=tol, eva_iter=3, verbose=False)
+    a = np.asarray(fn(spec, backend="fft", **kw))
+    b = np.asarray(
+        fn(spec, backend=backend, precision=jax.lax.Precision.HIGHEST, **kw)
+    )
+    np.testing.assert_allclose(b, a, atol=tol_scale * np.abs(a).max())
+
+
 def test_quality_converges():
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)
