@@ -43,6 +43,8 @@ def batched(
     """
 
     def wrapper(spec, *args, **kwargs):
+        import jax.numpy as jnp
+
         spec = as_array(spec)
         if spec.ndim != 3:
             raise ValueError(
@@ -58,21 +60,26 @@ def batched(
             return fn(spec_sharded, *args, **kwargs)
 
         n = mesh.shape[axis_name]
-        if spec.shape[0] % n:
-            raise ValueError(
-                f"batch {spec.shape[0]} not divisible by mesh axis "
-                f"{axis_name!r} of size {n}"
+        B = spec.shape[0]
+        # Clips are independent, so an uneven batch pads with zero-magnitude
+        # clips (inert under every algorithm: eps-guarded projections, and the
+        # per-shard stop rule is scale-invariant) and trims after.
+        pad = (-B) % n
+        if pad:
+            spec = jnp.concatenate(
+                [spec, jnp.zeros((pad, *spec.shape[1:]), spec.dtype)], axis=0
             )
 
         def body(spec_local):
             return fn(spec_local, *args, **kwargs)
 
-        return jax.shard_map(
+        out = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(P(axis_name, *([None] * (spec.ndim - 1))),),
             out_specs=P(axis_name),  # waveforms: batch-sharded leading axis
             check_vma=False,
         )(spec)
+        return out[:B] if pad else out
 
     return wrapper

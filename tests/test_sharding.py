@@ -76,6 +76,29 @@ def test_batched_rejects_2d():
         batched(griffin_lim, mesh)(np.ones((257, 40), np.float64))
 
 
+@pytest.mark.parametrize("batch", [3, 9])
+def test_batched_uneven_batch_pads_and_trims(batch):
+    """Batches not divisible by the mesh are zero-padded (clips are
+    independent) and trimmed back — results match the unsharded run."""
+    mesh = make_mesh(data=8, seq=1)
+    spec = _spec(batch=batch)
+    kw = dict(max_iter=8, tol=0.0, verbose=False)
+    ref = np.asarray(griffin_lim(spec, **kw))
+    out = np.asarray(batched(griffin_lim, mesh)(spec, **kw))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_batched_uneven_batch_early_stop():
+    """The zero pad clips contribute a constant 0 to each shard's mean loss,
+    so the scale-invariant stop rule is unaffected."""
+    mesh = make_mesh(data=8, seq=1)
+    spec = _spec(batch=6)
+    kw = dict(max_iter=40, tol=1e-2, eva_iter=5, verbose=False)
+    out = np.asarray(batched(griffin_lim, mesh)(spec, **kw))
+    assert out.shape[0] == 6 and np.isfinite(out).all()
+
+
 @pytest.mark.parametrize("center", [True, False])
 @pytest.mark.parametrize("use_hann", [False, True])
 def test_seq_parallel_matches_unsharded(center, use_hann):
