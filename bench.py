@@ -189,7 +189,10 @@ def main():
                 break
             except Exception as e:  # pragma: no cover
                 print(f"# backend {backend} failed (try {attempt}): {e}", file=sys.stderr)
-    backend = max(results, key=results.get)
+    # Headline = what backend='auto' ships (the four-step whole-run kernel);
+    # per-call ranking among the fused kernels is tunnel-RPC jitter, so do
+    # not argmax — fall back only if pallas4 failed to run.
+    backend = "pallas4" if "pallas4" in results else max(results, key=results.get)
     ips = results[backend]
 
     # quality check on the winning backend
