@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate
+from ..utils.runner import iterate, iterate_segmented
 from .common import prepare_spec_b3, restore_output
 from .griffin_lim import magnitude_project
 from .phase_init import phase_init_tm
@@ -251,7 +251,7 @@ def run_tm_pallas4(
     fixed-iteration path runs the whole loop in ONE Pallas launch."""
     from ..ops.framing import pad_center
     from ..ops.pallas import fft4
-    from ..ops.pallas.admm_fused4 import fused_admm_iteration4, fused_admm_run
+    from ..ops.pallas.admm_fused4 import fused_admm_run
     from ._pallas_driver import admm_xla_twin4, make_geometry4, make_inv_env
 
     if precision is None:
@@ -285,25 +285,33 @@ def run_tm_pallas4(
     )
     win32 = window.astype(jnp.float32)
 
-    if not with_mag:
+    def make_seg(n_iters: int, seg_mag: bool):
+        """``n_iters`` fused DR-ADMM iterations in ONE launch; see
+        griffin_lim.run_tm_pallas4.make_seg for the segment design."""
+
         @jax.custom_vjp
-        def full_run(state0, tgt, win, env, rho_):
-            x_pad0_, Yr0, Yi0 = state0
-            return fused_admm_run(
-                x_pad0_, Yr0, Yi0, tgt, win, env, rho_, cfg, valid_t=T,
-                e=geo.e, n_iters=max_iter, block_t=geo.block_t,
+        def seg(state, tgt, win, env, rho_):
+            x_pad, Yr, Yi = state
+            out = fused_admm_run(
+                x_pad, Yr, Yi, tgt, win, env, rho_, cfg, valid_t=T,
+                e=geo.e, n_iters=n_iters, block_t=geo.block_t,
                 interpret=interpret, precision=precision,
+                emit_state=True, with_mag=seg_mag,
             )
+            if seg_mag:
+                x_pad, Yr, Yi, mag = out
+            else:
+                x_pad, Yr, Yi = out
+                mag = jnp.zeros((), jnp.float32)
+            return (x_pad, Yr, Yi), mag
 
-        def full_run_fwd(state0, tgt, win, env, rho_):
-            return full_run(state0, tgt, win, env, rho_), (
-                state0, tgt, win, env, rho_,
-            )
+        def seg_fwd(state, tgt, win, env, rho_):
+            return seg(state, tgt, win, env, rho_), (state, tgt, win, env, rho_)
 
-        def full_run_bwd(residuals, ct_x):
-            state0, tgt, win, env, rho_ = residuals
+        def seg_bwd(residuals, cotangents):
+            state, tgt, win, env, rho_ = residuals
 
-            def replay(state0_, tgt_, win_, env_, rho__):
+            def replay(state_, tgt_, win_, env_, rho__):
                 def body(s, _):
                     s2, _mag = admm_xla_twin4(
                         s, tgt_, win_, env_, rho__, cfg, geo, T,
@@ -311,59 +319,62 @@ def run_tm_pallas4(
                     )
                     return s2, None
 
-                st_n, _ = jax.lax.scan(body, state0_, None, length=max_iter)
-                return st_n[0]
+                st_mid = state_
+                if n_iters > 1:
+                    st_mid, _ = jax.lax.scan(
+                        body, state_, None, length=n_iters - 1
+                    )
+                return admm_xla_twin4(
+                    st_mid, tgt_, win_, env_, rho__, cfg, geo, T,
+                    precision=twin_precision,
+                )
 
-            _, vjp = jax.vjp(replay, state0, tgt, win, env, rho_)
-            return vjp(ct_x)
+            _, vjp = jax.vjp(replay, state, tgt, win, env, rho_)
+            if not seg_mag:
+                st_ct, _ = cotangents
+                zero_mag = jnp.zeros(
+                    (B, geo.t_pad, n_fft // 128, 128), jnp.float32
+                )
+                cotangents = (st_ct, zero_mag)
+            return vjp(cotangents)
 
-        full_run.defvjp(full_run_fwd, full_run_bwd)
-
-        x_pad = full_run((x_pad0, x0_re, x0_im), target_p, win32, inv_env, rho)
-        return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
-
-    @jax.custom_vjp
-    def one_iter(state, tgt, win, env, rho_):
-        x_pad, Yr, Yi = state
-        x_pad, mag, Yr, Yi = fused_admm_iteration4(
-            x_pad, Yr, Yi, tgt, win, env, rho_, cfg,
-            valid_t=T, e=geo.e, block_t=geo.block_t, interpret=interpret,
-            precision=precision, with_mag=True,
-        )
-        return (x_pad, Yr, Yi), mag
-
-    def one_iter_fwd(state, tgt, win, env, rho_):
-        return one_iter(state, tgt, win, env, rho_), (state, tgt, win, env, rho_)
-
-    def one_iter_bwd(residuals, cotangents):
-        state, tgt, win, env, rho_ = residuals
-        _, vjp = jax.vjp(
-            lambda s, t, w_, e_, r_: admm_xla_twin4(
-                s, t, w_, e_, r_, cfg, geo, T, precision=twin_precision
-            ),
-            state, tgt, win, env, rho_,
-        )
-        return vjp(cotangents)
-
-    one_iter.defvjp(one_iter_fwd, one_iter_bwd)
-
-    def step(state):
-        state, mag = one_iter(state, target_p, win32, inv_env, rho)
-        mag = fft4.from_permuted(mag, n_fft)[:, :T, :F]
-        return state, mag
+        seg.defvjp(seg_fwd, seg_bwd)
+        return seg
 
     state0 = (x_pad0, x0_re, x0_im)  # DR state: Y0 = X0, U0 = 0
-    state = iterate(
-        step,
+
+    if not with_mag:
+        run = make_seg(max_iter, False)
+        state, _ = run(state0, target_p, win32, inv_env, rho)
+        return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
+
+    # Early-stop / verbose: whole-segment launches of eva_iter iterations
+    # (the stop rule only consults the metric there — see
+    # runner.iterate_segmented).
+    eva_seg = make_seg(min(eva_iter, max_iter), True)
+
+    def seg_step(state):
+        state, mag = eva_seg(state, target_p, win32, inv_env, rho)
+        return state, fft4.from_permuted(mag, n_fft)[:, :T, :F]
+
+    tail = max_iter % eva_iter
+    tail_fn = None
+    if tail:
+        tail_seg = make_seg(tail, False)
+
+        def tail_fn(state):
+            return tail_seg(state, target_p, win32, inv_env, rho)
+
+    state = iterate_segmented(
+        seg_step,
         state0,
         target_tm.astype(jnp.float32),
         max_iter=max_iter,
         tol=tol,
         eva_iter=eva_iter,
+        tail_fn=tail_fn,
         metric=metric,
         verbose=verbose,
-        mode="fori",
-        early_stop=early_stop,
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 

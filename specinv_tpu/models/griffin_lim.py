@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate
+from ..utils.runner import iterate, iterate_segmented
 from .common import prepare_spec_b3, restore_output
 from .phase_init import phase_init_tm
 
@@ -257,7 +257,7 @@ def run_tm_pallas4(
     """
     from ..ops.framing import pad_center
     from ..ops.pallas import fft4
-    from ..ops.pallas.gl_fused4 import fused_gl_iteration4
+    from ..ops.pallas.gl_fullrun4 import fused_gl_run
     from ._pallas_driver import gl_xla_twin4, make_geometry4, make_inv_env
 
     if precision is None:
@@ -290,74 +290,36 @@ def run_tm_pallas4(
         else jax.lax.Precision.HIGHEST
     )
 
-    @jax.custom_vjp
-    def one_iter(state, tgt, win, env, lr_):
-        x_pad, pre_re, pre_im = state
-        x_pad, mag, pre_re, pre_im = fused_gl_iteration4(
-            x_pad, pre_re, pre_im, tgt, win, env, lr_, cfg,
-            e=geo.e, block_t=geo.block_t, interpret=interpret,
-            precision=precision, with_mag=with_mag,
-        )
-        if mag is None:
-            mag = jnp.zeros((), jnp.float32)
-        return (x_pad, pre_re, pre_im), mag
-
-    def one_iter_fwd(state, tgt, win, env, lr_):
-        out = one_iter(state, tgt, win, env, lr_)
-        return out, (state, tgt, win, env, lr_)
-
-    def one_iter_bwd(residuals, cotangents):
-        state, tgt, win, env, lr_ = residuals
-        _, vjp = jax.vjp(
-            lambda s, t, w_, e_, l_: gl_xla_twin4(
-                s, t, w_, e_, l_, cfg, geo, precision=twin_precision
-            ),
-            state, tgt, win, env, lr_,
-        )
-        if not with_mag:
-            # twin returns the (B, t_pad, 128, m) magnitude; the kernel path
-            # returned a scalar dummy — discard its cotangent shape-safely
-            st_ct, _ = cotangents
-            zero_mag = jnp.zeros((B, geo.t_pad, n_fft // 128, 128), jnp.float32)
-            cotangents = (st_ct, zero_mag)
-        return vjp(cotangents)
-
-    one_iter.defvjp(one_iter_fwd, one_iter_bwd)
-
-    def step(state):
-        state, mag = one_iter(
-            state, target_p, window.astype(jnp.float32), inv_env, lr
-        )
-        if with_mag:
-            mag = fft4.from_permuted(mag, n_fft)[:, :T, :F]
-        return state, mag
-
-    if not with_mag:
-        # tol == 0 / no progress reporting: the whole run in ONE Pallas
-        # launch (grid over iterations, state resident in VMEM — zero
-        # per-iteration HBM traffic).  Reverse-mode differentiates a
-        # lax.scan of the XLA twin, storing one residual set per iteration,
-        # exactly the memory profile torch autograd would have.
-        from ..ops.pallas.gl_fullrun4 import fused_gl_run
+    def make_seg(n_iters: int, seg_mag: bool):
+        """A whole-segment step: ``n_iters`` fused iterations in ONE Pallas
+        launch (state VMEM-resident), emitting the final momentum planes and,
+        for eval segments, the last iteration's pre-momentum magnitude.
+        Reverse-mode differentiates a lax.scan of the XLA twin, one residual
+        set per iteration — the memory profile torch autograd would have."""
 
         @jax.custom_vjp
-        def full_run(state0, tgt, win, env, lr_):
-            x_pad0_, pre_re0_, pre_im0_ = state0
-            return fused_gl_run(
-                x_pad0_, pre_re0_, pre_im0_, tgt, win, env, lr_, cfg,
-                e=geo.e, n_iters=max_iter, block_t=geo.block_t,
+        def seg(state, tgt, win, env, lr_):
+            x_pad, pre_re, pre_im = state
+            out = fused_gl_run(
+                x_pad, pre_re, pre_im, tgt, win, env, lr_, cfg,
+                e=geo.e, n_iters=n_iters, block_t=geo.block_t,
                 interpret=interpret, precision=precision,
+                emit_state=True, with_mag=seg_mag,
             )
+            if seg_mag:
+                x_pad, pre_re, pre_im, mag = out
+            else:
+                x_pad, pre_re, pre_im = out
+                mag = jnp.zeros((), jnp.float32)
+            return (x_pad, pre_re, pre_im), mag
 
-        def full_run_fwd(state0, tgt, win, env, lr_):
-            return full_run(state0, tgt, win, env, lr_), (
-                state0, tgt, win, env, lr_,
-            )
+        def seg_fwd(state, tgt, win, env, lr_):
+            return seg(state, tgt, win, env, lr_), (state, tgt, win, env, lr_)
 
-        def full_run_bwd(residuals, ct_x):
-            state0, tgt, win, env, lr_ = residuals
+        def seg_bwd(residuals, cotangents):
+            state, tgt, win, env, lr_ = residuals
 
-            def replay(state0_, tgt_, win_, env_, lr__):
+            def replay(state_, tgt_, win_, env_, lr__):
                 def body(st, _):
                     st2, _mag = gl_xla_twin4(
                         st, tgt_, win_, env_, lr__, cfg, geo,
@@ -365,31 +327,67 @@ def run_tm_pallas4(
                     )
                     return st2, None
 
-                st_n, _ = jax.lax.scan(body, state0_, None, length=max_iter)
-                return st_n[0]
+                st_mid = state_
+                if n_iters > 1:
+                    st_mid, _ = jax.lax.scan(
+                        body, state_, None, length=n_iters - 1
+                    )
+                return gl_xla_twin4(
+                    st_mid, tgt_, win_, env_, lr__, cfg, geo,
+                    precision=twin_precision,
+                )
 
-            _, vjp = jax.vjp(replay, state0, tgt, win, env, lr_)
-            return vjp(ct_x)
+            _, vjp = jax.vjp(replay, state, tgt, win, env, lr_)
+            if not seg_mag:
+                # the twin returns the full magnitude plane; the kernel path
+                # returned a scalar dummy — discard its cotangent shape-safely
+                st_ct, _ = cotangents
+                zero_mag = jnp.zeros(
+                    (B, geo.t_pad, n_fft // 128, 128), jnp.float32
+                )
+                cotangents = (st_ct, zero_mag)
+            return vjp(cotangents)
 
-        full_run.defvjp(full_run_fwd, full_run_bwd)
+        seg.defvjp(seg_fwd, seg_bwd)
+        return seg
 
-        x_pad = full_run(
-            (x_pad0, pre0_re, pre0_im), target_p,
-            window.astype(jnp.float32), inv_env, lr,
-        )
-        return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
+    win32 = window.astype(jnp.float32)
+    state0 = (x_pad0, pre0_re, pre0_im)
 
-    state = iterate(
-        step,
-        (x_pad0, pre0_re, pre0_im),
+    if not with_mag:
+        # tol == 0 / no progress reporting: ALL iterations in one launch.
+        run = make_seg(max_iter, False)
+        state, _ = run(state0, target_p, win32, inv_env, lr)
+        return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
+
+    # Early-stop / verbose: the stop rule only consults the metric every
+    # eva_iter iterations (methods.py:180-189), so the run decomposes into
+    # whole-segment launches of eva_iter iterations — fullrun-kernel speed
+    # with reference-exact stop semantics (see runner.iterate_segmented).
+    eva_seg = make_seg(min(eva_iter, max_iter), True)
+
+    def seg_step(state):
+        state, mag = eva_seg(state, target_p, win32, inv_env, lr)
+        return state, fft4.from_permuted(mag, n_fft)[:, :T, :F]
+
+    tail = max_iter % eva_iter
+    tail_fn = None
+    if tail:
+        tail_seg = make_seg(tail, False)
+
+        def tail_fn(state):
+            return tail_seg(state, target_p, win32, inv_env, lr)
+
+    state = iterate_segmented(
+        seg_step,
+        state0,
         target_tm.astype(jnp.float32),
         max_iter=max_iter,
         tol=tol,
         eva_iter=eva_iter,
+        tail_fn=tail_fn,
         metric=metric,
         verbose=verbose,
-        mode="fori",
-        early_stop=early_stop,
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]

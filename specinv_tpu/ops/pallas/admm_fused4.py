@@ -73,191 +73,6 @@ def _admm_middle(
     return jnp.where(valid, yn_re, z), jnp.where(valid, yn_im, z)
 
 
-def _kernel(
-    rho_ref,       # SMEM (1, 1)
-    x_ref,         # (1, 1, Lx)
-    tgt_ref,       # (1, BT, m, 128)
-    y_sre_ref, y_sim_ref,   # Y (1, BT, m, 128) — the only spectral state
-    *rest,
-    block_t: int,
-    n_fft: int,
-    hop: int,
-    valid_t: int,
-    pad_mode: str,
-    p_amt: int,
-    e: int,
-    fwd_p,
-    inv_p,
-    with_mag: bool,
-    np_tables,
-):
-    ntab = len(TABLE_KEYS)
-    tab_refs = rest[:ntab]
-    win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
-    outs = rest[ntab + 3 :]
-    if with_mag:
-        (x_out_ref, ny_re_ref, ny_im_ref, mag_ref, frames_s) = outs
-    else:
-        (x_out_ref, ny_re_ref, ny_im_ref, frames_s) = outs
-
-    t = pl.program_id(1)
-    n_t = pl.num_programs(1)
-    m = n_fft // LANE
-    window = win_ref[0, :]
-    tables = dict(np_tables)
-    tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
-
-    @pl.when(t == 0)
-    def _zero_out():
-        x_out_ref[...] = jnp.zeros_like(x_out_ref)
-
-    if n_fft % hop == 0:
-        for j in range(n_fft // hop):
-            seg = x_ref[
-                0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
-            ].reshape(block_t, hop)
-            frames_s[:, j * hop : (j + 1) * hop] = (
-                seg * window[j * hop : (j + 1) * hop]
-            )
-    else:
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
-            return 0
-
-        jax.lax.fori_loop(0, block_t, body, 0)
-
-    r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
-
-    if with_mag:
-        mag_ref[0] = jnp.sqrt(r_re * r_re + r_im * r_im)
-
-    yn_re, yn_im = _admm_middle(
-        r_re, r_im, y_sre_ref[0], y_sim_ref[0], tgt_ref[0], rho_ref[0, 0],
-        t * block_t, valid_t, block_t, m,
-    )
-    ny_re_ref[0] = yn_re
-    ny_im_ref[0] = yn_im
-
-    fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
-
-    if n_fft % hop == 0:
-        for j in range(n_fft // hop):
-            start = (t * block_t + j) * hop
-            cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
-                block_t, hop
-            )
-            add = fr[:, j * hop : (j + 1) * hop] * window[
-                j * hop : (j + 1) * hop
-            ]
-            x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
-                cur + add
-            ).reshape(block_t * hop)
-    else:
-        def body_o(tl, _):
-            start = (t * block_t + tl) * hop
-            x_out_ref[0, 0, pl.ds(start, n_fft)] += fr[tl, :] * window
-            return 0
-
-        jax.lax.fori_loop(0, block_t, body_o, 0)
-
-    @pl.when(t == n_t - 1)
-    def _normalize():
-        x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
-        _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
-
-
-def fused_admm_iteration4(
-    x_pad, Y_re, Y_im, target, window, inv_env, rho,
-    cfg: STFTConfig, valid_t: int, e: int, block_t: int = 64,
-    interpret: bool = False, precision=jax.lax.Precision.HIGH,
-    with_mag: bool = True,
-):
-    """One fused four-step DR-reduced ADMM iteration.
-
-    Returns ``(x_pad, mag_p|None, Y_re, Y_im)``.
-    """
-    B, t_pad, m, lanes = target.shape
-    n_fft, hop = cfg.n_fft, cfg.hop_length
-    assert lanes == LANE and m == n_fft // LANE and t_pad % block_t == 0
-    lx = x_pad.shape[-1]
-    assert lx == (t_pad - 1) * hop + n_fft
-
-    tables = fft4.fourstep_tables(n_fft, cfg.normalized)
-    np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
-    p_amt = cfg.pad_amount
-    pad_mode = cfg.jnp_pad_mode
-    if p_amt and pad_mode == "reflect":
-        jrev = _anti_identity(p_amt)
-    else:
-        jrev = np.zeros((8, LANE), np.float32)
-
-    fwd_p, inv_p = split_schemes(precision)
-    kernel = functools.partial(
-        _kernel, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t,
-        pad_mode=pad_mode, p_amt=p_amt, e=e, fwd_p=fwd_p, inv_p=inv_p,
-        with_mag=with_mag, np_tables=np_tables,
-    )
-    grid = (B, t_pad // block_t)
-    blk = pl.BlockSpec((1, block_t, m, LANE), lambda b, t: (b, t, 0, 0))
-    sig = pl.BlockSpec((1, 1, lx), lambda b, t: (b, 0, 0))
-    const_sig = pl.BlockSpec((1, 1, lx), lambda b, t: (0, 0, 0))
-
-    out_specs = [sig] + [blk] * 2
-    out_shape = [jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)] + [
-        jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
-    ] * 2
-    if with_mag:
-        out_specs.append(blk)
-        out_shape.append(jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32))
-
-    macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # rho
-            sig,                                                # x
-            blk,                                                # target
-            blk, blk,                                           # Y re+im
-            *[
-                pl.BlockSpec(tables[k].shape, lambda b, t: (0, 0))
-                for k in TABLE_KEYS
-            ],
-            pl.BlockSpec((1, n_fft), lambda b, t: (0, 0)),      # window
-            const_sig,                                          # inv_env
-            pl.BlockSpec(jrev.shape, lambda b, t: (0, 0)),      # jrev
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((block_t, n_fft), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * t_pad * macs_frame,
-            bytes_accessed=4 * (2 * B * lx + (5 + with_mag) * B * t_pad * n_fft),
-            transcendentals=(1 + with_mag) * B * t_pad * n_fft,
-        ),
-        interpret=interpret,
-    )(
-        jnp.asarray(rho, jnp.float32).reshape(1, 1),
-        x_pad.astype(jnp.float32).reshape(B, 1, lx),
-        target.astype(jnp.float32),
-        Y_re.astype(jnp.float32), Y_im.astype(jnp.float32),
-        *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
-        jnp.asarray(window, jnp.float32).reshape(1, n_fft),
-        jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
-        jnp.asarray(jrev),
-    )
-    if with_mag:
-        x_raw, ny_re, ny_im, mag = out
-    else:
-        x_raw, ny_re, ny_im = out
-        mag = None
-    return (x_raw.reshape(B, lx), mag, ny_re, ny_im)
-
-
 # ---------------------------------------------------------------------------
 # Whole-run variant: grid (B, n_iters, n_t), state resident in VMEM.
 
@@ -279,12 +94,22 @@ def _kernel_full(
     inv_p,
     np_tables,
     n_iters: int,
+    emit_state: bool,
+    with_mag: bool,
 ):
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
     win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
-    x_out_ref = rest[ntab + 3]
-    (x_s, ys_re, ys_im, frames_s) = rest[ntab + 4 :]
+    outs = rest[ntab + 3 :]
+    x_out_ref = outs[0]
+    k = 1
+    if emit_state:
+        y_out_re_ref, y_out_im_ref = outs[k : k + 2]
+        k += 2
+    if with_mag:
+        mag_ref = outs[k]
+        k += 1
+    (x_s, ys_re, ys_im, frames_s) = outs[k:]
 
     i = pl.program_id(1)
     t = pl.program_id(2)
@@ -330,12 +155,25 @@ def _kernel_full(
         jax.lax.fori_loop(0, block_t, body, 0)
 
     r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
+
+    if with_mag:
+        # Metric output = pre-update |R| (methods.py:464-465), only needed
+        # for the final (eval) iteration of the launch.
+        @pl.when(i == n_iters - 1)
+        def _emit_mag():
+            mag_ref[0, sl] = jnp.sqrt(r_re * r_re + r_im * r_im)
+
     yn_re, yn_im = _admm_middle(
         r_re, r_im, ys_re[sl], ys_im[sl], tgt_ref[0, sl], rho_ref[0, 0],
         t * block_t, valid_t, block_t, m,
     )
     ys_re[sl] = yn_re
     ys_im[sl] = yn_im
+    if emit_state:
+        @pl.when(i == n_iters - 1)
+        def _emit_y():
+            y_out_re_ref[0, sl] = yn_re
+            y_out_im_ref[0, sl] = yn_im
 
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
@@ -373,12 +211,18 @@ def fused_admm_run(
     x_pad, Y_re, Y_im, target, window, inv_env, rho,
     cfg: STFTConfig, valid_t: int, e: int, n_iters: int, block_t: int = 64,
     interpret: bool = False, precision=jax.lax.Precision.HIGH,
+    emit_state: bool = False, with_mag: bool = False,
 ):
     """Run ``n_iters`` fused ADMM iterations in one launch -> final x_pad.
 
     Initial state per the reference (methods.py:452-456): ``Y = X`` = the
     seeded complex spectrum (passed as Y_re/Y_im), ``U = 0`` — so the DR
     variable starts at the seeded spectrum.
+
+    ``emit_state`` additionally returns the final Y planes and ``with_mag``
+    the pre-update |R| of the LAST iteration, making the launch one eval
+    segment of an early-stopping run (see gl_fullrun4.fused_gl_run).
+    Return order: ``x_pad[, Y_re, Y_im][, mag]``.
     """
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -400,12 +244,23 @@ def fused_admm_run(
         _kernel_full, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t,
         pad_mode=pad_mode, p_amt=p_amt, e=e, fwd_p=fwd_p, inv_p=inv_p,
         np_tables=np_tables, n_iters=n_iters,
+        emit_state=emit_state, with_mag=with_mag,
     )
     grid = (B, n_iters, t_pad // block_t)
     whole = lambda b, i, t: (b, 0, 0, 0)  # noqa: E731
     sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (b, 0, 0))
     const_sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (0, 0, 0))
     blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
+
+    plane = jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
+    out_specs = [sig]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)]
+    if emit_state:
+        out_specs += [blk, blk]
+        out_shape += [plane, plane]
+    if with_mag:
+        out_specs.append(blk)
+        out_shape.append(plane)
 
     macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
     out = pl.pallas_call(
@@ -423,8 +278,8 @@ def fused_admm_run(
             const_sig,                                           # inv_env
             pl.BlockSpec(jrev.shape, lambda b, i, t: (0, 0)),    # jrev
         ],
-        out_specs=[sig],
-        out_shape=[jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, lx), jnp.float32),
             *[pltpu.VMEM((t_pad, m, LANE), jnp.float32)] * 2,
@@ -449,4 +304,7 @@ def fused_admm_run(
         jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
         jnp.asarray(jrev),
     )
-    return out[0].reshape(B, lx)
+    x_fin = out[0].reshape(B, lx)
+    if not emit_state and not with_mag:
+        return x_fin
+    return (x_fin, *out[1:])

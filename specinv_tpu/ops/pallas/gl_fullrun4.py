@@ -81,12 +81,22 @@ def _kernel(
     inv_p,
     np_tables,
     n_iters: int,
+    emit_state: bool,
+    with_mag: bool,
 ):
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
     win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
-    x_out_ref = rest[ntab + 3]
-    x_s, pre_re_s, pre_im_s, frames_s = rest[ntab + 4 :]
+    outs = rest[ntab + 3 :]
+    x_out_ref = outs[0]
+    k = 1
+    if emit_state:
+        pre_out_re_ref, pre_out_im_ref = outs[k : k + 2]
+        k += 2
+    if with_mag:
+        mag_ref = outs[k]
+        k += 1
+    x_s, pre_re_s, pre_im_s, frames_s = outs[k:]
 
     i = pl.program_id(1)
     t = pl.program_id(2)
@@ -133,11 +143,24 @@ def _kernel(
     # --- one GL iteration for this time-block
     s_re, s_im = fft4.fwd4(frames_s[...], tables, fwd_p)
     sl = pl.ds(t * block_t, block_t)
+
+    if with_mag:
+        # Metric output = pre-momentum |stft(x)| (methods.py:242,250), only
+        # needed for the final (eval) iteration of the launch.
+        @pl.when(i == n_iters - 1)
+        def _emit_mag():
+            mag_ref[0, sl] = jnp.sqrt(s_re * s_re + s_im * s_im)
+
     lr = lr_ref[0, 0]
     s_re = s_re - lr * pre_re_s[sl]
     s_im = s_im - lr * pre_im_s[sl]
     pre_re_s[sl] = s_re
     pre_im_s[sl] = s_im
+    if emit_state:
+        @pl.when(i == n_iters - 1)
+        def _emit_pre():
+            pre_out_re_ref[0, sl] = s_re
+            pre_out_im_ref[0, sl] = s_im
     norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
     gain = tgt_ref[0, sl] / norm
     fr = fft4.inv4_real(s_re * gain, s_im * gain, tables, inv_p)
@@ -187,8 +210,18 @@ def fused_gl_run(
     block_t: int = 64,
     interpret: bool = False,
     precision=jax.lax.Precision.HIGH,
+    emit_state: bool = False,
+    with_mag: bool = False,
 ):
-    """Run ``n_iters`` fused GL iterations in one launch -> final x_pad (B, Lx)."""
+    """Run ``n_iters`` fused GL iterations in one launch -> final x_pad (B, Lx).
+
+    With ``emit_state`` the final momentum planes are also returned, and with
+    ``with_mag`` the pre-momentum |stft(x)| of the LAST iteration — together
+    these make the launch usable as one eval *segment* of an early-stopping
+    run (the stop rule only consults the metric every ``eva_iter`` steps, so
+    chaining segments of that length is exactly the reference loop).
+    Return order: ``x_pad[, pre_re, pre_im][, mag]``.
+    """
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
     assert lanes == LANE and m == n_fft // LANE
@@ -211,12 +244,23 @@ def fused_gl_run(
         _kernel, block_t=block_t, n_fft=n_fft, hop=hop,
         pad_mode=pad_mode, p_amt=p_amt, e=e,
         fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, n_iters=n_iters,
+        emit_state=emit_state, with_mag=with_mag,
     )
     grid = (B, n_iters, n_t)
     whole = lambda b, i, t: (b, 0, 0, 0)  # noqa: E731
     sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (b, 0, 0))
     const_sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (0, 0, 0))
     blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
+
+    plane = jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
+    out_specs = [sig]
+    out_shape = [jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)]
+    if emit_state:
+        out_specs += [blk, blk]
+        out_shape += [plane, plane]
+    if with_mag:
+        out_specs.append(blk)
+        out_shape.append(plane)
 
     macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
     out = pl.pallas_call(
@@ -234,8 +278,8 @@ def fused_gl_run(
             const_sig,                                           # inv_env
             pl.BlockSpec(jrev.shape, lambda b, i, t: (0, 0)),    # jrev
         ],
-        out_specs=[sig],
-        out_shape=[jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, lx), jnp.float32),
             pltpu.VMEM((t_pad, m, LANE), jnp.float32),
@@ -262,4 +306,7 @@ def fused_gl_run(
         jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
         jnp.asarray(jrev),
     )
-    return out[0].reshape(B, lx)
+    x_fin = out[0].reshape(B, lx)
+    if not emit_state and not with_mag:
+        return x_fin
+    return (x_fin, *out[1:])

@@ -183,3 +183,72 @@ def iterate(
         return state
 
     raise ValueError(f"unknown mode {mode!r} (expected 'fori' or 'while')")
+
+
+def iterate_segmented(
+    seg_fn: StepFn,
+    state,
+    target: jnp.ndarray,
+    max_iter: int,
+    tol,
+    eva_iter: int,
+    tail_fn: Callable = None,
+    metric: str = "sc",
+    verbose: bool = False,
+    loss_fn: Callable = None,
+):
+    """:func:`iterate` for whole-segment steps (reference-exact, faster).
+
+    The reference's stop rule only consults the loss at iterations
+    ``i % eva_iter == eva_iter - 1`` (methods.py:180-189), so an
+    early-stopping run decomposes exactly into ``max_iter // eva_iter``
+    *segments* of ``eva_iter`` iterations — each ``seg_fn(state) -> (state,
+    out)`` call runs one whole segment (e.g. a single multi-iteration Pallas
+    launch) and returns the LAST iteration's metric output — followed by an
+    eval-free tail of ``max_iter % eva_iter`` iterations (``tail_fn``, run
+    only if the stop never fired, like the reference's loop break).
+
+    Differentiable like ``iterate(mode='fori')``: a ``done`` mask freezes the
+    state once the stop fires.
+    """
+    assert eva_iter > 0 and max_iter > 0
+    verbose = gate_verbose(verbose)
+    metric_fn = get_metric(metric)
+    if loss_fn is None:
+        loss_fn = _mse
+
+    n_segs = max_iter // eva_iter
+    tol = jnp.asarray(tol)
+    real_dtype = jnp.zeros((), dtype=target.dtype).real.dtype
+    nan = jnp.array(jnp.nan, dtype=real_dtype)
+
+    def seg_body(k, carry):
+        st, prev, init, done = carry
+        new_st, out = seg_fn(st)
+        st = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), st, new_st
+        )
+        l2 = loss_fn(out, target).astype(real_dtype)
+        if verbose:
+            metric_val = metric_fn(out, target)
+
+            def _report(kk, l2_, m_):
+                _progress_print((kk + 1) * eva_iter - 1, metric, m_, l2_)
+
+            jax.debug.callback(_report, k, l2, metric_val)
+        first = jnp.isnan(init)
+        new_init = jnp.where(first, l2, init)
+        stop = ~first & ((prev - l2) / new_init < tol) & (prev > l2)
+        return st, l2, new_init, done | stop
+
+    done = jnp.array(False)
+    if n_segs:
+        state, _, _, done = jax.lax.fori_loop(
+            0, n_segs, seg_body, (state, nan, nan, done)
+        )
+    if tail_fn is not None and max_iter % eva_iter:
+        new_st, _ = tail_fn(state)
+        state = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), state, new_st
+        )
+    return state
