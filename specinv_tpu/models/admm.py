@@ -228,7 +228,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -245,6 +245,7 @@ def run_tm_pallas4(
     interpret: bool = False,
     early_stop: bool = True,
     precision=None,
+    mode: str = "fori",
 ) -> jnp.ndarray:
     """ADMM driven by the four-step fused kernels (ops/pallas/admm_fused4):
     Hermitian-extended full-spectrum iteration in permuted layout; the
@@ -375,6 +376,7 @@ def run_tm_pallas4(
         tail_fn=tail_fn,
         metric=metric,
         verbose=verbose,
+        mode=mode,
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 
@@ -418,6 +420,7 @@ def _full_run(
             interpret=jax.default_backend() == "cpu",
             early_stop=early_stop,
             precision=precision,
+            mode=mode,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(

@@ -230,7 +230,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -247,6 +247,7 @@ def run_tm_pallas4(
     interpret: bool = False,
     early_stop: bool = True,
     precision=None,
+    mode: str = "fori",
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the four-step fused kernel (ops/pallas/gl_fused4).
 
@@ -388,6 +389,7 @@ def run_tm_pallas4(
         tail_fn=tail_fn,
         metric=metric,
         verbose=verbose,
+        mode=mode,
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
@@ -438,6 +440,7 @@ def _full_run(
             interpret=interpret,
             early_stop=early_stop,
             precision=precision,
+            mode=mode,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(

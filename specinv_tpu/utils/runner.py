@@ -196,6 +196,7 @@ def iterate_segmented(
     metric: str = "sc",
     verbose: bool = False,
     loss_fn: Callable = None,
+    mode: str = "fori",
 ):
     """:func:`iterate` for whole-segment steps (reference-exact, faster).
 
@@ -208,8 +209,10 @@ def iterate_segmented(
     eval-free tail of ``max_iter % eva_iter`` iterations (``tail_fn``, run
     only if the stop never fired, like the reference's loop break).
 
-    Differentiable like ``iterate(mode='fori')``: a ``done`` mask freezes the
-    state once the stop fires.
+    ``mode='fori'`` (default) is differentiable: a ``done`` mask freezes the
+    state once the stop fires (remaining segments still execute, frozen).
+    ``mode='while'`` actually exits at the stop boundary — fastest for
+    inference, not reverse-differentiable (same trade as :func:`iterate`).
     """
     assert eva_iter > 0 and max_iter > 0
     verbose = gate_verbose(verbose)
@@ -243,9 +246,26 @@ def iterate_segmented(
 
     done = jnp.array(False)
     if n_segs:
-        state, _, _, done = jax.lax.fori_loop(
-            0, n_segs, seg_body, (state, nan, nan, done)
-        )
+        if mode == "fori":
+            state, _, _, done = jax.lax.fori_loop(
+                0, n_segs, seg_body, (state, nan, nan, done)
+            )
+        elif mode == "while":
+
+            def cond(carry):
+                k, _st, _prev, _init, done_ = carry
+                return (k < n_segs) & ~done_
+
+            def body(carry):
+                k, st, prev, init, done_ = carry
+                st, prev, init, done_ = seg_body(k, (st, prev, init, done_))
+                return k + 1, st, prev, init, done_
+
+            _, state, _, _, done = jax.lax.while_loop(
+                cond, body, (jnp.array(0), state, nan, nan, done)
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r} (expected 'fori' or 'while')")
     if tail_fn is not None and max_iter % eva_iter:
         new_st, _ = tail_fn(state)
         state = jax.tree_util.tree_map(

@@ -61,6 +61,23 @@ def test_parity_early_stop(backend):
     np.testing.assert_allclose(b, a, atol=5e-3 * np.abs(a).max())
 
 
+@pytest.mark.parametrize("algo", ["gl", "admm"])
+def test_pallas4_while_mode_early_exit(algo):
+    """mode='while' on the segmented pallas4 path actually exits at the stop
+    boundary — result matches the done-masked fori mode exactly (the mask
+    freezes at the same segment the while loop exits at)."""
+    from specinv_tpu import ADMM
+
+    fn = ADMM if algo == "admm" else griffin_lim
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(hop_length=128, max_iter=43, tol=1.0, eva_iter=5, verbose=False,
+              backend="pallas4")
+    a = np.asarray(fn(spec, mode="fori", **kw))
+    b = np.asarray(fn(spec, mode="while", **kw))
+    np.testing.assert_allclose(b, a, atol=0)
+
+
 def test_parity_twosided_pallas4():
     """onesided=False runs natively in the four-step kernel (full-spectrum
     iteration) — the direct-DFT kernel cannot do this at all."""
@@ -233,6 +250,30 @@ def test_highest_precision_strict_parity_all_kernels(algo, backend, tol):
         fn(spec, backend=backend, precision=jax.lax.Precision.HIGHEST, **kw)
     )
     np.testing.assert_allclose(b, a, atol=tol_scale * np.abs(a).max())
+
+
+def test_segmented_verbose_reports(monkeypatch):
+    """verbose=True (the public default) on the segmented pallas4 path fires
+    the per-eval progress callback."""
+    import jax
+
+    from specinv_tpu.utils import runner
+
+    msgs = []
+    monkeypatch.setattr(
+        runner, "_progress_print",
+        lambda i, name, m, l: msgs.append(int(i)),
+    )
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    y = griffin_lim(
+        spec, hop_length=128, max_iter=10, tol=1e-30, eva_iter=5,
+        verbose=True, backend="pallas4",
+    )
+    np.asarray(y)
+    jax.effects_barrier()
+    # evals at global iterations 4 and 9 (i % eva_iter == eva_iter - 1)
+    assert sorted(msgs) == [4, 9], msgs
 
 
 def test_quality_converges():
