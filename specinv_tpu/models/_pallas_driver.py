@@ -46,11 +46,30 @@ def make_geometry(cfg: STFTConfig, T: int, F: int) -> PaddedGeometry:
     )
 
 
-def make_geometry4(cfg: STFTConfig, T: int, block_t: int = 128) -> PaddedGeometry:
+def auto_block_t(T: int) -> int:
+    """Time-block size for the four-step kernels when the caller doesn't pin
+    one: minimize t_pad = ceil(T/bt)*bt (padding rows are full-price compute),
+    tie-breaking toward 64 (measured best per-row rate; 32 pays ~10% per-row
+    at large n_fft, 256 strains the VMEM pipeline) — interleaved A/B sweep in
+    scripts/exp_blockt.py, table in benchmarks.md."""
+    best_bt, best_tp = 64, None
+    for bt in (64, 128, 32, 256):  # preference order on t_pad ties
+        tp = -(-T // bt) * bt
+        if best_tp is None or tp < best_tp:
+            best_bt, best_tp = bt, tp
+    return best_bt
+
+
+def make_geometry4(
+    cfg: STFTConfig, T: int, block_t: int | None = 128
+) -> PaddedGeometry:
     """Geometry for the four-step kernels: no frequency padding (the full
-    permuted spectrum is (n_fft//128, 128)); time blocked at ``block_t``."""
+    permuted spectrum is (n_fft//128, 128)); time blocked at ``block_t``
+    (``None`` -> :func:`auto_block_t`)."""
     n_fft, hop = cfg.n_fft, cfg.hop_length
     p_amt = cfg.pad_amount
+    if block_t is None:
+        block_t = auto_block_t(T)
     block_t = min(block_t, -(-T // 64) * 64)
     t_pad = -(-T // block_t) * block_t
     lx = (t_pad - 1) * hop + n_fft

@@ -243,7 +243,7 @@ def run_tm_pallas4(
     eva_iter: int = 10,
     metric: str = "sc",
     verbose: bool = False,
-    block_t: int = 64,
+    block_t: int | None = None,
     interpret: bool = False,
     early_stop: bool = True,
     precision=None,
