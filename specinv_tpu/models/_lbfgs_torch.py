@@ -24,6 +24,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ._lbfgs_compact import compact_direction, gram_insert
+
 CURVATURE_EPS = 1e-10  # torch's `ys > 1e-10` history-update guard
 
 
@@ -39,6 +41,7 @@ class TorchLBFGSState(NamedTuple):
     prev_grad: jnp.ndarray  # shape of x
     prev_loss: jnp.ndarray  # scalar
     n_total: jnp.ndarray    # torch state['n_iter'] — global iteration count
+    gram: jnp.ndarray       # (m, m) S Y^T for the compact direction
 
 
 def init_state(x0: jnp.ndarray, history_size: int) -> TorchLBFGSState:
@@ -55,6 +58,7 @@ def init_state(x0: jnp.ndarray, history_size: int) -> TorchLBFGSState:
         prev_grad=jnp.zeros_like(x0),
         prev_loss=jnp.asarray(jnp.inf, dt),
         n_total=jnp.zeros((), jnp.int32),
+        gram=jnp.zeros((history_size, history_size), dt),
     )
 
 
@@ -107,6 +111,7 @@ def lbfgs_step(
     max_eval: int,
     tolerance_grad: float,
     tolerance_change: float,
+    direction: str = "compact",
 ):
     """One ``optimizer.step(closure)`` worth of fixed-step L-BFGS.
 
@@ -114,6 +119,11 @@ def lbfgs_step(
     evaluates the closure once up front (the eval torch pays on every step
     entry), then iterates until a break condition fires.  Returns
     ``(x, state)``.
+
+    ``direction='compact'`` (default) computes the search direction through
+    the compact representation (:mod:`._lbfgs_compact`) — identical math to
+    the two-loop recursion but latency-free on TPU; ``'two_loop'`` keeps the
+    sequential recursion (torch's exact summation order).
     """
     loss0, grad0 = value_and_grad_fn(x)
     init_opt = jnp.max(jnp.abs(grad0)) <= tolerance_grad
@@ -152,10 +162,23 @@ def lbfgs_step(
             head = jnp.where(upd, (st.head + 1) % m, st.head)
             hist = jnp.where(upd, jnp.minimum(st.hist + 1, m), st.hist)
             h_diag = jnp.where(upd, ys / _vdot(y, y), st.h_diag)
-            d = _two_loop(grad, ybuf, sbuf, rho, hist, head, h_diag)
+            if direction == "compact":
+                gram = jnp.where(
+                    upd,
+                    gram_insert(st.gram, sbuf, ybuf, st.head, s, y),
+                    st.gram,
+                )
+                perm = (head - hist + jnp.arange(m, dtype=jnp.int32)) % m
+                valid = jnp.arange(m) < hist
+                d = compact_direction(
+                    -grad, sbuf, ybuf, rho, gram, perm, valid, h_diag
+                )
+            else:
+                gram = st.gram
+                d = _two_loop(grad, ybuf, sbuf, rho, hist, head, h_diag)
             return d, st._replace(
                 ybuf=ybuf, sbuf=sbuf, rho=rho, head=head, hist=hist,
-                h_diag=h_diag,
+                h_diag=h_diag, gram=gram,
             )
 
         d, st = jax.lax.cond(first, first_dir, lbfgs_dir, st)

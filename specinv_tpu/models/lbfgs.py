@@ -62,6 +62,7 @@ from .common import as_array
         "metric",
         "verbose",
         "mode",
+        "direction",
     ),
 )
 def run(
@@ -81,12 +82,18 @@ def run(
     metric: str = "sc",
     verbose: bool = False,
     mode: str = "fori",
+    direction: str = "compact",
 ) -> jnp.ndarray:
     def loss_fn(x):
         return _mse(transform_fn(x), target)
 
     if line_search:
-        opt = optax.lbfgs(memory_size=history_size)
+        if direction == "compact":
+            from ._lbfgs_compact import compact_lbfgs_optimizer
+
+            opt = compact_lbfgs_optimizer(memory_size=history_size)
+        else:
+            opt = optax.lbfgs(memory_size=history_size)
         # Reuse the value/grad the zoom line search already computed.
         value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
@@ -129,7 +136,7 @@ def run(
             x, st = lbfgs_step(
                 x, st, plain_vg, lr=lr, max_iter=inner_max_iter,
                 max_eval=max_eval, tolerance_grad=tolerance_grad,
-                tolerance_change=tolerance_change,
+                tolerance_change=tolerance_change, direction=direction,
             )
             return (x, st), transform_fn(x)
 
@@ -168,6 +175,7 @@ def L_BFGS(
     tolerance_change: float = 1e-9,
     history_size: int = 100,
     line_search_fn: Optional[str] = None,
+    direction: str = "auto",
 ):
     """Reference-parity entry point (methods.py:509-569).
 
@@ -185,6 +193,13 @@ def L_BFGS(
     (``line_search_fn=None``) is trajectory-exact against torch, including
     all termination criteria.  Unknown kwargs raise ``TypeError``, as
     torch's constructor would.
+
+    ``direction`` (TPU extension, not a torch kwarg): ``'compact'`` computes
+    search directions via the compact representation — identical math to the
+    two-loop recursion, ~5x faster at torch's default ``history_size=100``
+    on TPU (see :mod:`._lbfgs_compact`); ``'two_loop'`` keeps the sequential
+    recursion (torch's exact floating-point summation order); ``'auto'``
+    (default) resolves to ``'compact'``.
     """
     target = as_array(spec)
     if init_x0 is None:
@@ -201,6 +216,10 @@ def L_BFGS(
 
     if line_search_fn not in (None, "strong_wolfe"):
         raise ValueError(f"unsupported line_search_fn {line_search_fn!r}")
+    if direction not in ("auto", "compact", "two_loop"):
+        raise ValueError(f"unsupported direction {direction!r}")
+    if direction == "auto":
+        direction = "compact"
     if max_eval is None:
         max_eval = max_iter * 5 // 4  # torch.optim.LBFGS default
 
@@ -221,6 +240,7 @@ def L_BFGS(
         metric=metric,
         verbose=verbose,
         mode=mode,
+        direction=direction,
     )
 
 

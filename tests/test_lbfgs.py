@@ -133,6 +133,55 @@ def test_torch_trajectory_parity(lbfgs_kwargs):
     np.testing.assert_allclose(y, y_ref, rtol=1e-6, atol=1e-8)
 
 
+def test_direction_compact_matches_two_loop_end_to_end():
+    """The compact-representation direction (TPU fast path) is algebraically
+    identical to the two-loop recursion; in f64 the whole fixed-step
+    trajectory must agree to near machine precision."""
+    n = 256
+    rng = np.random.default_rng(7)
+    x_true = rng.standard_normal(n)
+    x0 = 0.5 * x_true + 0.1 * rng.standard_normal(n)
+    fn_jax, _ = _power_spec_pair(n=n)
+    spec = fn_jax(jnp.asarray(x_true))
+    kw = dict(init_x0=jnp.asarray(x0), outer_max_iter=3, tol=0.0,
+              verbose=False, history_size=5)
+    y_compact = np.asarray(L_BFGS(spec, fn_jax, direction="compact", **kw))
+    y_two_loop = np.asarray(L_BFGS(spec, fn_jax, direction="two_loop", **kw))
+    np.testing.assert_allclose(y_compact, y_two_loop, rtol=1e-9, atol=1e-11)
+
+
+def test_compact_preconditioner_matches_optax():
+    """scale_by_compact_lbfgs is a drop-in for optax.scale_by_lbfgs: same
+    preconditioned updates along a whole trajectory (f64, 1e-12)."""
+    from optax._src import transform as optax_transform
+
+    from specinv_tpu.models._lbfgs_compact import scale_by_compact_lbfgs
+
+    rng = np.random.default_rng(1)
+    n = 40
+    q_mat = rng.standard_normal((n, n))
+    q_mat = q_mat @ q_mat.T / n + np.eye(n)
+    b = rng.standard_normal(n)
+
+    def grad(x):
+        return jnp.asarray(q_mat) @ x - jnp.asarray(b)
+
+    for m in (3, 6):
+        ref_t = optax_transform.scale_by_lbfgs(memory_size=m)
+        new_t = scale_by_compact_lbfgs(memory_size=m)
+        x1 = jnp.asarray(rng.standard_normal(n))
+        x2 = x1
+        s1, s2 = ref_t.init(x1), new_t.init(x2)
+        for _ in range(9):
+            u1, s1 = ref_t.update(grad(x1), s1, x1)
+            u2, s2 = new_t.update(grad(x2), s2, x2)
+            np.testing.assert_allclose(
+                np.asarray(u2), np.asarray(u1), rtol=1e-11, atol=1e-12
+            )
+            x1 = x1 - 0.1 * u1
+            x2 = x2 - 0.1 * u2
+
+
 def test_unknown_kwargs_raise():
     fn = _stft_mag_fn(256)
     with pytest.raises(TypeError):
