@@ -7,6 +7,11 @@ reports quality — optionally saving a matplotlib figure.
 
 Usage:
     python main.py [griffin_lim|rtisi_la|admm|l_bfgs] [--plot out.png]
+                   [--input in.wav] [--output recon.wav]
+
+Audio I/O goes through the framework's own WAV codec
+(specinv_tpu.io — native C++ with a numpy fallback), so no third-party
+audio library is needed either way.
 """
 import argparse
 import sys
@@ -33,6 +38,10 @@ def main():
     ap.add_argument("--n-fft", type=int, default=1024)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--plot", type=str, default=None, help="save a figure here")
+    ap.add_argument("--input", type=str, default=None,
+                    help="invert this WAV file instead of the synthetic demo signal")
+    ap.add_argument("--output", type=str, default=None,
+                    help="write the reconstruction to this WAV file")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -41,8 +50,16 @@ def main():
     from specinv_tpu.config import canonicalize
     from specinv_tpu.ops import stft as stft_ops
 
-    sr = 22050
-    x = make_demo_signal(sr)
+    if args.input:
+        from specinv_tpu.io import read_wav
+
+        x, sr = read_wav(args.input)
+        if x.ndim > 1:
+            x = x.mean(axis=0)  # downmix to mono like the reference demo
+        x = np.ascontiguousarray(x, np.float32)
+    else:
+        sr = 22050
+        x = make_demo_signal(sr)
     window = np.hanning(args.n_fft + 1)[:-1].astype(np.float32)
     cfg, w = canonicalize(args.n_fft // 2 + 1, np.float32, window=window)
     wj = jnp.asarray(w)
@@ -69,6 +86,12 @@ def main():
     recon = jnp.abs(stft_ops.stft(jnp.asarray(y), cfg, wj))
     sc_db = float(si.sc(recon, mag_tm))
     print(f"{args.algorithm}: {dt:.2f}s, output {y.shape}, spectral convergence {sc_db:.2f} dB")
+
+    if args.output:
+        from specinv_tpu.io import write_wav
+
+        write_wav(args.output, y, sr)
+        print(f"wrote {args.output}")
 
     if args.plot:
         import matplotlib
