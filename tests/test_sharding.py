@@ -51,6 +51,20 @@ def test_batched_dp_admm():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
 
 
+def test_batched_dp_rtisi():
+    """batched() is algorithm-agnostic: RTISI-LA streams shard over the
+    batch axis too (multi-stream serving over a mesh)."""
+    from specinv_tpu import RTISI_LA
+
+    mesh = make_mesh(data=8, seq=1)
+    spec = _spec(batch=8, n=8192)
+    kw = dict(look_ahead=2, max_iter=4, verbose=False)
+    ref = np.asarray(RTISI_LA(spec, **kw))
+    out = batched(RTISI_LA, mesh)(spec, **kw)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-10)
+
+
 def test_batched_dp_pallas_kernel_per_shard():
     """VERDICT r1 item 2: the fused kernel runs per-shard under shard_map
     (no GSPMD rule needed) — BASELINE config 5's fastest path."""
