@@ -163,6 +163,16 @@ def main():
         np.asarray(m)
     vi = [0]
 
+    def _rb(a, tries=3):
+        # the tunnel throws transient UNIMPLEMENTED errors on readbacks
+        for k in range(tries):
+            try:
+                return np.asarray(a)
+            except Exception:  # noqa: BLE001
+                if k == tries - 1:
+                    raise
+                time.sleep(2.0)
+
     def timed(backend, iters):
         def run():
             m = variants[vi[0] % len(variants)]
@@ -172,17 +182,17 @@ def main():
                 backend=backend,
             )
 
-        np.asarray(run())  # compile + warmup
+        _rb(run())  # compile + warmup
         t0 = time.perf_counter()
-        np.asarray(run())
+        _rb(run())
         return time.perf_counter() - t0
 
     results, marginal = {}, {}
     for backend in ("fft", "matmul", "pallas", "pallas4"):
         for attempt in range(2):  # axon RPC occasionally drops a compile
             try:
-                t100 = min(timed(backend, ITERS) for _ in range(2))
-                t400 = min(timed(backend, 4 * ITERS) for _ in range(2))
+                t100 = min(timed(backend, ITERS) for _ in range(3))
+                t400 = min(timed(backend, 4 * ITERS) for _ in range(3))
                 results[backend] = ITERS / t100
                 # marginal per-iteration rate, net of fixed per-call overhead
                 marginal[backend] = (4 * ITERS - ITERS) / max(t400 - t100, 1e-9)
