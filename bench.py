@@ -182,10 +182,19 @@ def main():
                 backend=backend,
             )
 
-        _rb(run())  # compile + warmup
-        t0 = time.perf_counter()
-        _rb(run())
-        return time.perf_counter() - t0
+        _rb(run())  # compile + warmup (retries allowed — untimed)
+        # A transient readback error must RESTART the measurement, not be
+        # absorbed into it (a 2 s retry sleep inside the timed region would
+        # silently inflate the sample).
+        for k in range(3):
+            t0 = time.perf_counter()
+            try:
+                np.asarray(run())
+                return time.perf_counter() - t0
+            except Exception:  # noqa: BLE001
+                if k == 2:
+                    raise
+                time.sleep(2.0)
 
     results, marginal = {}, {}
     for backend in ("fft", "matmul", "pallas", "pallas4"):

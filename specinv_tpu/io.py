@@ -41,13 +41,17 @@ def _try_build() -> Optional[str]:
             suffix=".so", dir=os.path.dirname(_LIB_PATH)
         )
         os.close(fd)
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        os.replace(tmp, _LIB_PATH)
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(tmp, _LIB_PATH)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return _LIB_PATH
     except Exception as exc:  # noqa: BLE001 — any failure -> numpy fallback
         warnings.warn(f"native wav codec unavailable ({exc}); using numpy")
@@ -118,9 +122,15 @@ def _np_read(path: str) -> Tuple[np.ndarray, int, int]:
             cid, sz = hdr[:4], struct.unpack("<I", hdr[4:])[0]
             if cid == b"fmt ":
                 payload = f.read(sz + (sz & 1))
+                if len(payload) < 16:
+                    raise ValueError(f"{path}: truncated fmt chunk")
                 tag, ch, sr = struct.unpack("<HHI", payload[:8])
                 bits = struct.unpack("<H", payload[14:16])[0]
                 if tag == 0xFFFE:  # extensible: real tag leads SubFormat
+                    if len(payload) < 26:
+                        raise ValueError(
+                            f"{path}: truncated extensible fmt chunk"
+                        )
                     tag = struct.unpack("<H", payload[24:26])[0]
                 fmt = (tag, ch, sr, bits)
             elif cid == b"data":

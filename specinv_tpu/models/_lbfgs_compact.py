@@ -147,12 +147,21 @@ def scale_by_compact_lbfgs(
     """Drop-in for ``optax.scale_by_lbfgs`` computing the identical
     preconditioned updates through the compact representation.
 
-    Mirrors optax's semantics exactly: memory written at ``(count-1) % m``,
-    ``weight = 1/(s.y)`` guarded only against exact zero, zero-filled slots
-    inert, gamma from the newest pair (first step: capped inverse grad norm).
+    Mirrors optax's semantics exactly for REAL parameter trees: memory
+    written at ``(count-1) % m``, ``weight = 1/(s.y)`` guarded only against
+    exact zero, zero-filled slots inert, gamma from the newest pair (first
+    step: capped inverse grad norm).  Complex parameters (which
+    ``optax.lbfgs`` supports via conjugating vdots) are rejected rather than
+    silently mis-preconditioned — use optax's transform for those.
     """
 
     def init_fn(params):
+        for leaf in jax.tree.leaves(params):
+            if jnp.iscomplexobj(leaf):
+                raise TypeError(
+                    "scale_by_compact_lbfgs supports real parameters only; "
+                    "use optax.scale_by_lbfgs for complex trees"
+                )
         stacked = jax.tree.map(
             lambda leaf: jnp.zeros((memory_size,) + leaf.shape, leaf.dtype),
             params,

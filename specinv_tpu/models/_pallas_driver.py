@@ -46,18 +46,26 @@ def make_geometry(cfg: STFTConfig, T: int, F: int) -> PaddedGeometry:
     )
 
 
-def auto_block_t(T: int) -> int:
+def auto_block_t(T: int, n_fft: int) -> int:
     """Time-block size for the four-step kernels when the caller doesn't pin
-    one: minimize t_pad = ceil(T/bt)*bt (padding rows are full-price compute),
-    tie-breaking toward 64 (measured best per-row rate; 32 pays ~10% per-row
-    at large n_fft, 256 strains the VMEM pipeline) — interleaved A/B sweep in
+    one.  Padded rows (t_pad = ceil(T/bt)*bt) are full-price compute, and
+    since ceil(T/bt)*bt is non-decreasing over the nested sizes 64/128/256,
+    the only live choice is 32 vs 64: take 32 when its padding saving
+    outweighs the per-row penalty bt=32 carries at n_fft >= 1024 (~10-15%
+    measured; none at n_fft <= 512) — interleaved A/B sweep in
     scripts/exp_blockt.py, table in benchmarks.md."""
-    best_bt, best_tp = 64, None
-    for bt in (64, 128, 32, 256):  # preference order on t_pad ties
-        tp = -(-T // bt) * bt
-        if best_tp is None or tp < best_tp:
-            best_bt, best_tp = bt, tp
-    return best_bt
+    tp32 = -(-T // 32) * 32
+    tp64 = -(-T // 64) * 64
+    threshold = 1.0 if n_fft <= 512 else 0.88
+    return 32 if tp32 < threshold * tp64 else 64
+
+
+def resolve_block_t(T: int, n_fft: int, block_t: int | None) -> int:
+    """Shared block-size resolution for every four-step-kernel caller:
+    auto-select when unpinned, then clamp to the clip's row count."""
+    if block_t is None:
+        block_t = auto_block_t(T, n_fft)
+    return min(block_t, -(-T // 64) * 64)
 
 
 def make_geometry4(
@@ -68,9 +76,7 @@ def make_geometry4(
     (``None`` -> :func:`auto_block_t`)."""
     n_fft, hop = cfg.n_fft, cfg.hop_length
     p_amt = cfg.pad_amount
-    if block_t is None:
-        block_t = auto_block_t(T)
-    block_t = min(block_t, -(-T // 64) * 64)
+    block_t = resolve_block_t(T, n_fft, block_t)
     t_pad = -(-T // block_t) * block_t
     lx = (t_pad - 1) * hop + n_fft
     lp = (T - 1) * hop + n_fft

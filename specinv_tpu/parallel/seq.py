@@ -102,9 +102,9 @@ def _run_seq(
     # local time blocks + the kernel's padded signal length.
     use_pallas = backend == "pallas4" and algo == "gl"
     Ts_local_st = T_pad // n
-    from ..models._pallas_driver import auto_block_t
+    from ..models._pallas_driver import resolve_block_t
 
-    block_t4 = min(auto_block_t(Ts_local_st), -(-Ts_local_st // 64) * 64)
+    block_t4 = resolve_block_t(Ts_local_st, n_fft, None)
     t_pad_loc = -(-Ts_local_st // block_t4) * block_t4
     lx_loc = (t_pad_loc - 1) * hop + n_fft
     if use_pallas:

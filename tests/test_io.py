@@ -98,3 +98,16 @@ def test_bad_file_raises(tmp_path):
         f.write(b"not a wav at all")
     with pytest.raises(ValueError):
         sio.read_wav(p)
+
+
+def test_truncated_fmt_chunk_raises_valueerror(tmp_path):
+    """Malformed fmt chunks must raise ValueError on BOTH codecs (the numpy
+    path used to leak struct.error)."""
+    p = str(tmp_path / "trunc.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 20) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00abcd")
+    with pytest.raises(ValueError):
+        sio._np_read(p)
+    with pytest.raises(ValueError):
+        sio.read_wav(p)

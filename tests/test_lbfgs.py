@@ -182,6 +182,16 @@ def test_compact_preconditioner_matches_optax():
             x2 = x2 - 0.1 * u2
 
 
+def test_compact_preconditioner_rejects_complex():
+    """Complex trees need conjugating vdots (optax has them, the compact
+    path does not) — reject instead of silently mis-preconditioning."""
+    from specinv_tpu.models._lbfgs_compact import scale_by_compact_lbfgs
+
+    t = scale_by_compact_lbfgs(memory_size=3)
+    with pytest.raises(TypeError):
+        t.init(jnp.zeros((8,), jnp.complex64))
+
+
 def test_unknown_kwargs_raise():
     fn = _stft_mag_fn(256)
     with pytest.raises(TypeError):

@@ -196,6 +196,21 @@ def test_gradients_match_xla_path(which):
     assert rel < 5e-2, rel
 
 
+def test_auto_block_t_policy():
+    """32 is chosen exactly when its padding saving beats the measured
+    per-row penalty (none at n_fft<=512, ~10-15% at >=1024); long clips with
+    sub-threshold savings must keep 64 (code-review finding: the first rule
+    shipped 32 for T=862 over a 3.7% saving)."""
+    from specinv_tpu.models._pallas_driver import auto_block_t
+
+    assert auto_block_t(345, 512) == 32     # 352 vs 384: any saving at 512
+    assert auto_block_t(87, 2048) == 32     # 96 vs 128: 25% saving
+    assert auto_block_t(431, 2048) == 64    # north star: tie -> 64
+    assert auto_block_t(862, 2048) == 64    # 864 vs 896: saving below penalty
+    assert auto_block_t(173, 1024) == 64    # tie -> 64
+    assert auto_block_t(44, 4096) == 64     # tie -> 64
+
+
 def test_highest_precision_strict_parity():
     """With precision=HIGHEST the kernel matches the full-f32 XLA path
     tightly (the default HIGH/bf16x3 trades ~1e-4 rel divergence for 1.5x)."""
