@@ -480,7 +480,11 @@ def ADMM(
     from ..ops.pallas import gl_fused, gl_fused4
 
     if backend == "auto" and jax.default_backend() not in ("cpu",):
-        if gl_fused4.supports(cfg, window):
+        from ..ops.pallas import gl_fullrun4
+
+        if gl_fused4.supports(cfg, window) and gl_fullrun4.fits(
+            cfg, spec_b3.shape[-1]
+        ):
             backend = "pallas4"
         elif gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
             backend = "pallas"

@@ -509,8 +509,12 @@ def griffin_lim(
         # The fused four-step kernel is the fastest path and (via the
         # XLA-twin custom_vjp) fully differentiable — make it the TPU
         # default where the config allows; fall back to the direct-DFT
-        # fused kernel, then to XLA.
-        if gl_fused4.supports(cfg, window):
+        # fused kernel (per-iteration, any clip length), then to XLA.
+        from ..ops.pallas import gl_fullrun4
+
+        if gl_fused4.supports(cfg, window) and gl_fullrun4.fits(
+            cfg, spec_b3.shape[-1]
+        ):
             backend = "pallas4"
         elif gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
             backend = "pallas"

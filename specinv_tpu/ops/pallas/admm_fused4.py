@@ -96,6 +96,7 @@ def _kernel_full(
     n_iters: int,
     emit_state: bool,
     with_mag: bool,
+    t_blocked: bool,
 ):
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
@@ -127,10 +128,15 @@ def _kernel_full(
 
     sl = pl.ds(t * block_t, block_t)
 
+    def _plane(ref):
+        # t_blocked: the ref window IS this t-block (streamed per step);
+        # resident: the ref holds the whole plane, slice it.
+        return ref[0] if t_blocked else ref[0, sl]
+
     @pl.when(i == 0)
     def _init_state():
-        ys_re[sl] = y0_sre_ref[0, sl]
-        ys_im[sl] = y0_sim_ref[0, sl]
+        ys_re[sl] = _plane(y0_sre_ref)
+        ys_im[sl] = _plane(y0_sim_ref)
 
     @pl.when(t == 0)
     def _zero_write_slab():
@@ -161,10 +167,13 @@ def _kernel_full(
         # for the final (eval) iteration of the launch.
         @pl.when(i == n_iters - 1)
         def _emit_mag():
-            mag_ref[0, sl] = jnp.sqrt(r_re * r_re + r_im * r_im)
+            if t_blocked:
+                mag_ref[0] = jnp.sqrt(r_re * r_re + r_im * r_im)
+            else:
+                mag_ref[0, sl] = jnp.sqrt(r_re * r_re + r_im * r_im)
 
     yn_re, yn_im = _admm_middle(
-        r_re, r_im, ys_re[sl], ys_im[sl], tgt_ref[0, sl], rho_ref[0, 0],
+        r_re, r_im, ys_re[sl], ys_im[sl], _plane(tgt_ref), rho_ref[0, 0],
         t * block_t, valid_t, block_t, m,
     )
     ys_re[sl] = yn_re
@@ -172,8 +181,12 @@ def _kernel_full(
     if emit_state:
         @pl.when(i == n_iters - 1)
         def _emit_y():
-            y_out_re_ref[0, sl] = yn_re
-            y_out_im_ref[0, sl] = yn_im
+            if t_blocked:
+                y_out_re_ref[0] = yn_re
+                y_out_im_ref[0] = yn_im
+            else:
+                y_out_re_ref[0, sl] = yn_re
+                y_out_im_ref[0, sl] = yn_im
 
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
@@ -230,6 +243,19 @@ def fused_admm_run(
     lx = x_pad.shape[-1]
     assert lx == (t_pad - 1) * hop + n_fft
 
+    from .gl_fullrun4 import VMEM_BUDGET, plane_vmem_bytes
+
+    t_blocked = plane_vmem_bytes(
+        t_pad, block_t, n_fft, lx, emit_state, with_mag, False
+    ) > VMEM_BUDGET
+    if t_blocked and plane_vmem_bytes(
+        t_pad, block_t, n_fft, lx, emit_state, with_mag, True
+    ) > VMEM_BUDGET:
+        raise ValueError(
+            "clip too long for the whole-run kernel's VMEM state; use "
+            "backend='pallas' or sequence parallelism"
+        )
+
     tables = fft4.fourstep_tables(n_fft, cfg.normalized)
     np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
     p_amt = cfg.pad_amount
@@ -244,13 +270,16 @@ def fused_admm_run(
         _kernel_full, block_t=block_t, n_fft=n_fft, hop=hop, valid_t=valid_t,
         pad_mode=pad_mode, p_amt=p_amt, e=e, fwd_p=fwd_p, inv_p=inv_p,
         np_tables=np_tables, n_iters=n_iters,
-        emit_state=emit_state, with_mag=with_mag,
+        emit_state=emit_state, with_mag=with_mag, t_blocked=t_blocked,
     )
     grid = (B, n_iters, t_pad // block_t)
     whole = lambda b, i, t: (b, 0, 0, 0)  # noqa: E731
     sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (b, 0, 0))
     const_sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (0, 0, 0))
-    blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
+    if t_blocked:
+        blk = pl.BlockSpec((1, block_t, m, LANE), lambda b, i, t: (b, t, 0, 0))
+    else:
+        blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
 
     plane = jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
     out_specs = [sig]

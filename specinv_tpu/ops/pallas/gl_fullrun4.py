@@ -36,6 +36,47 @@ from .gl_fused import LANE, PROJ_EPS, _anti_identity, split_schemes
 
 TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
+# Budget the whole-run kernels may plan against.  The Mosaic scoped-vmem
+# ceiling on v5e is ~128 MiB; leave headroom for tables, semaphores, and
+# accounting overhead beyond this estimate (a 20 s clip at n_fft=2048
+# measured ~25% above the naive sum).
+VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def plane_vmem_bytes(
+    t_pad: int, block_t: int, n_fft: int, lx: int,
+    emit_state: bool, with_mag: bool, t_blocked: bool,
+) -> int:
+    """Rough VMEM plan for one fullrun/segment launch (bytes, f32).
+
+    Counts the double-buffered in/out windows (whole planes when resident,
+    (block_t, ...) blocks when ``t_blocked``) plus the always-full scratch:
+    the double-buffered signal, the momentum/state planes, and the frames
+    buffer.  Used to pick whole-plane residency vs t-blocked streaming and,
+    past that, to reject the launch so the caller can demote backends.
+    """
+    plane = (block_t if t_blocked else t_pad) * n_fft * 4
+    n_planes = 3 + (2 if emit_state else 0) + (1 if with_mag else 0)
+    sig = lx * 4
+    io = 2 * (n_planes * plane + 3 * sig)  # dbuf x (planes + x0/x_out/env)
+    scratch = 2 * sig + 2 * t_pad * n_fft * 4 + block_t * n_fft * 4
+    return io + scratch
+
+
+def fits(cfg: STFTConfig, T: int, block_t: int | None = None) -> bool:
+    """Can the whole-run/segment kernels handle a ``T``-frame clip at all
+    (t-blocked streaming included)?  Used by the public dispatchers to keep
+    ``backend='auto'`` from selecting a launch that cannot compile."""
+    from ...models._pallas_driver import resolve_block_t
+
+    bt = resolve_block_t(T, cfg.n_fft, block_t)
+    t_pad = -(-T // bt) * bt
+    lx = (t_pad - 1) * cfg.hop_length + cfg.n_fft
+    return (
+        plane_vmem_bytes(t_pad, bt, cfg.n_fft, lx, True, True, True)
+        <= VMEM_BUDGET
+    )
+
 
 def _repad_slab(x_s, wr, jrev_ref, pad_mode: str, p_amt: int, e: int):
     """Edge re-pad of the (1, Lx) slab ``wr`` of the double buffer."""
@@ -83,6 +124,7 @@ def _kernel(
     n_iters: int,
     emit_state: bool,
     with_mag: bool,
+    t_blocked: bool,
 ):
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
@@ -107,6 +149,11 @@ def _kernel(
     tables = dict(np_tables)
     tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
 
+    def _plane(ref, sl):
+        # t_blocked: the ref window IS this t-block (streamed per step);
+        # resident: the ref holds the whole plane, slice it.
+        return ref[0] if t_blocked else ref[0, sl]
+
     @pl.when(jnp.logical_and(i == 0, t == 0))
     def _init_x():
         x_s[pl.ds(0, 1), :] = x0_ref[0]
@@ -114,8 +161,8 @@ def _kernel(
     @pl.when(i == 0)
     def _init_pre():
         sl = pl.ds(t * block_t, block_t)
-        pre_re_s[sl] = pre0_re_ref[0, sl]
-        pre_im_s[sl] = pre0_im_ref[0, sl]
+        pre_re_s[sl] = _plane(pre0_re_ref, sl)
+        pre_im_s[sl] = _plane(pre0_im_ref, sl)
 
     @pl.when(t == 0)
     def _zero_write_slab():
@@ -149,7 +196,10 @@ def _kernel(
         # needed for the final (eval) iteration of the launch.
         @pl.when(i == n_iters - 1)
         def _emit_mag():
-            mag_ref[0, sl] = jnp.sqrt(s_re * s_re + s_im * s_im)
+            if t_blocked:
+                mag_ref[0] = jnp.sqrt(s_re * s_re + s_im * s_im)
+            else:
+                mag_ref[0, sl] = jnp.sqrt(s_re * s_re + s_im * s_im)
 
     lr = lr_ref[0, 0]
     s_re = s_re - lr * pre_re_s[sl]
@@ -159,10 +209,14 @@ def _kernel(
     if emit_state:
         @pl.when(i == n_iters - 1)
         def _emit_pre():
-            pre_out_re_ref[0, sl] = s_re
-            pre_out_im_ref[0, sl] = s_im
+            if t_blocked:
+                pre_out_re_ref[0] = s_re
+                pre_out_im_ref[0] = s_im
+            else:
+                pre_out_re_ref[0, sl] = s_re
+                pre_out_im_ref[0, sl] = s_im
     norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
-    gain = tgt_ref[0, sl] / norm
+    gain = _plane(tgt_ref, sl) / norm
     fr = fft4.inv4_real(s_re * gain, s_im * gain, tables, inv_p)
 
     # --- overlap-add into the write slab
@@ -221,6 +275,14 @@ def fused_gl_run(
     run (the stop rule only consults the metric every ``eva_iter`` steps, so
     chaining segments of that length is exactly the reference loop).
     Return order: ``x_pad[, pre_re, pre_im][, mag]``.
+
+    Plane residency adapts to the clip: the target/momentum planes stay
+    VMEM-resident when the whole launch fits :data:`VMEM_BUDGET`; longer
+    clips (e.g. 20 s at n_fft=2048, which OOM'd the resident layout) switch
+    to t-blocked streaming of the plane I/O — the momentum *state* scratch
+    stays resident either way, so numerics are identical and only ~1 MB/step
+    of overlappable DMA is added.  Raises ``ValueError`` when even the
+    streamed layout cannot fit (the caller demotes backends).
     """
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -228,6 +290,17 @@ def fused_gl_run(
     assert t_pad % block_t == 0
     lx = x_pad.shape[-1]
     assert lx == (t_pad - 1) * hop + n_fft
+
+    t_blocked = plane_vmem_bytes(
+        t_pad, block_t, n_fft, lx, emit_state, with_mag, False
+    ) > VMEM_BUDGET
+    if t_blocked and plane_vmem_bytes(
+        t_pad, block_t, n_fft, lx, emit_state, with_mag, True
+    ) > VMEM_BUDGET:
+        raise ValueError(
+            "clip too long for the whole-run kernel's VMEM state; use "
+            "backend='pallas' or sequence parallelism"
+        )
 
     tables = fft4.fourstep_tables(n_fft, cfg.normalized)
     np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
@@ -244,13 +317,16 @@ def fused_gl_run(
         _kernel, block_t=block_t, n_fft=n_fft, hop=hop,
         pad_mode=pad_mode, p_amt=p_amt, e=e,
         fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, n_iters=n_iters,
-        emit_state=emit_state, with_mag=with_mag,
+        emit_state=emit_state, with_mag=with_mag, t_blocked=t_blocked,
     )
     grid = (B, n_iters, n_t)
     whole = lambda b, i, t: (b, 0, 0, 0)  # noqa: E731
     sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (b, 0, 0))
     const_sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (0, 0, 0))
-    blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
+    if t_blocked:
+        blk = pl.BlockSpec((1, block_t, m, LANE), lambda b, i, t: (b, t, 0, 0))
+    else:
+        blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
 
     plane = jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
     out_specs = [sig]

@@ -8,7 +8,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from specinv_tpu import griffin_lim, sc
+from specinv_tpu import ADMM, griffin_lim, sc
 from specinv_tpu.config import canonicalize
 from specinv_tpu.ops.pallas import gl_fused
 
@@ -194,6 +194,46 @@ def test_gradients_match_xla_path(which):
     assert np.isfinite(g_pal).all()
     rel = np.abs(g_ref - g_pal).max() / (np.abs(g_ref).max() + 1e-12)
     assert rel < 5e-2, rel
+
+
+@pytest.mark.parametrize("algo", ["gl", "admm"])
+def test_fullrun_t_blocked_streaming_parity(algo, monkeypatch):
+    """Long clips exceed the whole-run kernel's resident-plane VMEM plan (a
+    20 s clip at n_fft=2048 OOM'd the compiler) and switch to t-blocked
+    plane streaming.  Forcing the streamed layout on a small config must
+    reproduce the resident layout exactly — the state scratch is identical,
+    only the I/O windows change."""
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.models._pallas_driver import resolve_block_t
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    fn = griffin_lim if algo == "gl" else ADMM
+    kw = dict(hop_length=128, max_iter=5, tol=0.0, verbose=False)
+    a = np.asarray(fn(spec, backend="pallas4", eva_iter=10, **kw))
+
+    cfg, _ = canonicalize(spec.shape[0], np.float32, hop_length=128)
+    T = spec.shape[1]
+    bt = resolve_block_t(T, cfg.n_fft, None)
+    t_pad = -(-T // bt) * bt
+    lx = (t_pad - 1) * cfg.hop_length + cfg.n_fft
+    est_res = gl_fullrun4.plane_vmem_bytes(
+        t_pad, bt, cfg.n_fft, lx, True, False, False
+    )
+    est_blk = gl_fullrun4.plane_vmem_bytes(
+        t_pad, bt, cfg.n_fft, lx, True, False, True
+    )
+    assert est_blk < est_res
+    monkeypatch.setattr(gl_fullrun4, "VMEM_BUDGET", (est_blk + est_res) // 2)
+    # eva_iter is unused at tol=0 but static — busts the jit cache so the
+    # streamed layout actually re-traces
+    b = np.asarray(fn(spec, backend="pallas4", eva_iter=11, **kw))
+    np.testing.assert_allclose(b, a, atol=0)
+
+    monkeypatch.setattr(gl_fullrun4, "VMEM_BUDGET", est_blk - 1)
+    with pytest.raises(ValueError, match="too long"):
+        fn(spec, backend="pallas4", eva_iter=12, **kw)
 
 
 def test_auto_block_t_policy():
