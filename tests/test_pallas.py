@@ -236,6 +236,19 @@ def test_fullrun_t_blocked_streaming_parity(algo, monkeypatch):
         fn(spec, backend="pallas4", eva_iter=12, **kw)
 
 
+def test_fullrun_fits_predicate():
+    """The dispatcher's VMEM gate: 10 s and 20 s clips at n_fft=2048 fit the
+    whole-run kernels (resident or streamed), ~100 s clips do not (verified
+    on-chip: auto demotes to the per-iteration kernel and still converges)."""
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    cfg, _ = canonicalize(1025, np.float32)  # n_fft 2048, hop 512
+    assert gl_fullrun4.fits(cfg, 431)    # 10 s north star
+    assert gl_fullrun4.fits(cfg, 862)    # 20 s (streamed layout)
+    assert not gl_fullrun4.fits(cfg, 4306)  # ~100 s
+
+
 def test_auto_block_t_policy():
     """32 is chosen exactly when its padding saving beats the measured
     per-row penalty (none at n_fft<=512, ~10-15% at >=1024); long clips with
