@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate, iterate_segmented
-from .common import prepare_spec_b3, restore_output
+from ..utils.runner import iterate, iterate_segmented, psum_mse
+from .common import prepare_spec_b3, restore_output, run_with_vmem_demotion
 from .griffin_lim import magnitude_project
 from .phase_init import phase_init_tm
 
@@ -83,7 +83,7 @@ def step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -100,6 +100,7 @@ def run_tm(
     backend: str = "auto",
     early_stop: bool = True,
     precision=None,
+    loss_psum_axes=None,
 ) -> jnp.ndarray:
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
     state = init(
@@ -127,13 +128,14 @@ def run_tm(
         verbose=verbose,
         mode=mode,
         early_stop=early_stop,
+        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
     )
     return state.x
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "interpret", "early_stop", "precision"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "interpret", "early_stop", "precision", "loss_psum_axes"),
 )
 def run_tm_pallas(
     target_tm: jnp.ndarray,
@@ -149,6 +151,7 @@ def run_tm_pallas(
     interpret: bool = False,
     early_stop: bool = True,
     precision=None,
+    loss_psum_axes=None,
 ) -> jnp.ndarray:
     """ADMM driven by the fused Pallas iteration kernel; same numerics as
     :func:`run_tm` — see ops/pallas/admm_fused.py.  Differentiable via the
@@ -222,13 +225,14 @@ def run_tm_pallas(
         verbose=verbose,
         mode="fori",
         early_stop=early_stop,
+        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -245,6 +249,7 @@ def run_tm_pallas4(
     interpret: bool = False,
     early_stop: bool = True,
     precision=None,
+    loss_psum_axes=None,
     mode: str = "fori",
 ) -> jnp.ndarray:
     """ADMM driven by the four-step fused kernels (ops/pallas/admm_fused4):
@@ -377,13 +382,14 @@ def run_tm_pallas4(
         metric=metric,
         verbose=verbose,
         mode=mode,
+        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes"),
 )
 def _full_run(
     spec_b3: jnp.ndarray,
@@ -399,6 +405,7 @@ def _full_run(
     backend: str,
     early_stop: bool,
     precision=None,
+    loss_psum_axes=None,
 ) -> jnp.ndarray:
     spec_tm = jnp.swapaxes(spec_b3, -1, -2)
     if jnp.iscomplexobj(spec_tm):
@@ -421,6 +428,7 @@ def _full_run(
             early_stop=early_stop,
             precision=precision,
             mode=mode,
+            loss_psum_axes=loss_psum_axes,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -437,6 +445,7 @@ def _full_run(
             interpret=jax.default_backend() == "cpu",
             early_stop=early_stop,
             precision=precision,
+            loss_psum_axes=loss_psum_axes,
         )
     return run_tm.__wrapped__(
         target_tm,
@@ -452,7 +461,8 @@ def _full_run(
         mode=mode,
         backend=backend,
         early_stop=early_stop,
-        precision=precision if isinstance(precision, jax.lax.Precision) else None,
+        precision=fourier.check_precision(precision, backend),
+        loss_psum_axes=loss_psum_axes,
     )
 
 
@@ -467,6 +477,7 @@ def ADMM(
     mode: str = "fori",
     backend: str = "auto",
     precision=None,
+    loss_psum_axes=None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:415-506).
@@ -479,14 +490,19 @@ def ADMM(
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
     from ..ops.pallas import gl_fused, gl_fused4
 
+    fallback_backend = None  # demotion target when auto picked the whole-run kernel
     if backend == "auto" and jax.default_backend() not in ("cpu",):
         from ..ops.pallas import gl_fullrun4
 
+        pallas_ok = gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3)
         if gl_fused4.supports(cfg, window) and gl_fullrun4.fits(
             cfg, spec_b3.shape[-1]
         ):
             backend = "pallas4"
-        elif gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
+            # Optimistic VMEM fit: first compile is the probe; a Mosaic OOM
+            # demotes to this backend (see common.run_with_vmem_demotion).
+            fallback_backend = "pallas" if pallas_ok else "auto"
+        elif pallas_ok:
             backend = "pallas"
     if backend == "pallas4" and not gl_fused4.supports(cfg, window):
         raise ValueError(
@@ -500,20 +516,27 @@ def ADMM(
                 "hop % 128 == 0, real window; use backend='auto' instead"
             )
     real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
-    x = _full_run(
-        spec_b3,
-        window,
-        jnp.asarray(rho, dtype=real_dtype),
-        jnp.asarray(tol, dtype=real_dtype),
-        cfg,
-        max_iter=max_iter,
-        eva_iter=eva_iter,
-        metric=metric,
-        verbose=verbose,
-        mode=mode,
-        backend=backend,
-        early_stop=bool(tol > 0),
-        precision=precision,
+
+    def launch(bk):
+        return _full_run(
+            spec_b3,
+            window,
+            jnp.asarray(rho, dtype=real_dtype),
+            jnp.asarray(tol, dtype=real_dtype),
+            cfg,
+            max_iter=max_iter,
+            eva_iter=eva_iter,
+            metric=metric,
+            verbose=verbose,
+            mode=mode,
+            backend=bk,
+            early_stop=bool(tol > 0),
+            precision=precision,
+            loss_psum_axes=loss_psum_axes,
+        )
+
+    x = run_with_vmem_demotion(
+        launch, backend, fallback_backend, cfg, spec_b3.shape[-1]
     )
     return restore_output(x, was_2d)
 

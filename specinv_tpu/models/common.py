@@ -64,3 +64,35 @@ def restore_output(x: jnp.ndarray, was_2d: bool) -> jnp.ndarray:
     if was_2d and x.shape[0] == 1:
         return x[0]
     return x
+
+
+def run_with_vmem_demotion(launch, backend: str, fallback_backend, cfg, T: int):
+    """Execute ``launch(backend)``, demoting on a whole-run-kernel VMEM OOM.
+
+    The whole-run kernels' VMEM fit model (:func:`...gl_fullrun4.fits`) is
+    optimistic past its calibrated budget; when ``backend='pallas4'`` was
+    *auto*-selected (``fallback_backend`` set), the first compile doubles as
+    the probe — a Mosaic scoped-VMEM exhaustion is caught here, the launch
+    shape is recorded in the deny cache (so ``fits`` rejects it from then
+    on), and the run retries on ``fallback_backend``.  An explicit
+    ``backend='pallas4'`` request (``fallback_backend=None``) still raises.
+    """
+    if fallback_backend is None or backend != "pallas4":
+        return launch(backend)
+    try:
+        return launch(backend)
+    except Exception as e:  # noqa: BLE001 — filtered to VMEM OOMs below
+        from ..ops.pallas import gl_fullrun4
+
+        if not gl_fullrun4.is_vmem_oom(e):
+            raise
+        import warnings
+
+        warnings.warn(
+            f"whole-run fused kernel exceeded VMEM at compile time for "
+            f"T={T} frames (n_fft={cfg.n_fft}); demoting backend to "
+            f"{fallback_backend!r} and caching the rejection",
+            stacklevel=3,
+        )
+        gl_fullrun4.deny(cfg, T)
+        return launch(fallback_backend)

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate, iterate_segmented
-from .common import prepare_spec_b3, restore_output
+from ..utils.runner import iterate, iterate_segmented, psum_mse
+from .common import prepare_spec_b3, restore_output, run_with_vmem_demotion
 from .phase_init import phase_init_tm
 
 PROJ_EPS = 1e-16
@@ -81,7 +81,7 @@ def step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -98,6 +98,7 @@ def run_tm(
     backend: str = "auto",
     early_stop: bool = True,
     precision=None,
+    loss_psum_axes=None,
 ) -> jnp.ndarray:
     """Jitted time-major Griffin-Lim: magnitude target (B, T, F) -> waveform (B, L)."""
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
@@ -123,13 +124,14 @@ def run_tm(
         verbose=verbose,
         mode=mode,
         early_stop=early_stop,
+        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
     )
     return state.x
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "loss_psum_axes"),
 )
 def run_tm_pallas(
     target_tm: jnp.ndarray,
@@ -146,6 +148,7 @@ def run_tm_pallas(
     interpret: bool = False,
     early_stop: bool = True,
     precision=None,
+    loss_psum_axes=None,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the fused Pallas iteration kernel.
 
@@ -223,6 +226,7 @@ def run_tm_pallas(
         verbose=verbose,
         mode="fori",
         early_stop=early_stop,
+        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
@@ -230,7 +234,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -247,6 +251,7 @@ def run_tm_pallas4(
     interpret: bool = False,
     early_stop: bool = True,
     precision=None,
+    loss_psum_axes=None,
     mode: str = "fori",
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the four-step fused kernel (ops/pallas/gl_fused4).
@@ -257,7 +262,7 @@ def run_tm_pallas4(
     Reverse-mode differentiates the XLA twin (gl_xla_twin4).
     """
     from ..ops.framing import pad_center
-    from ..ops.pallas import fft4
+    from ..ops.pallas import fft4, gl_fullrun4
     from ..ops.pallas.gl_fullrun4 import fused_gl_run
     from ._pallas_driver import gl_xla_twin4, make_geometry4, make_inv_env
 
@@ -267,6 +272,9 @@ def run_tm_pallas4(
     n_fft = cfg.n_fft
     geo = make_geometry4(cfg, T, block_t=block_t)
     inv_env = make_inv_env(cfg, window, T, geo)
+    # Clip packing: short clips in a batch are folded into each grid step so
+    # the MXU sees full row blocks (bitwise invariant; gl_fullrun4.choose_pack).
+    pack = gl_fullrun4.choose_pack(cfg, T, B, block_t=geo.block_t)
 
     if cfg.onesided:
         tgt_full = fft4.extend_hermitian_mag(target_tm.astype(jnp.float32), n_fft)
@@ -305,7 +313,7 @@ def run_tm_pallas4(
                 x_pad, pre_re, pre_im, tgt, win, env, lr_, cfg,
                 e=geo.e, n_iters=n_iters, block_t=geo.block_t,
                 interpret=interpret, precision=precision,
-                emit_state=True, with_mag=seg_mag,
+                emit_state=True, with_mag=seg_mag, pack=pack,
             )
             if seg_mag:
                 x_pad, pre_re, pre_im, mag = out
@@ -390,6 +398,7 @@ def run_tm_pallas4(
         metric=metric,
         verbose=verbose,
         mode=mode,
+        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
@@ -399,7 +408,7 @@ def run_tm_pallas4(
     jax.jit,
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
-        "interpret", "early_stop", "precision",
+        "interpret", "early_stop", "precision", "loss_psum_axes",
     ),
 )
 def _full_run(
@@ -417,6 +426,7 @@ def _full_run(
     interpret: bool,
     early_stop: bool,
     precision=None,
+    loss_psum_axes=None,
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
@@ -441,6 +451,7 @@ def _full_run(
             early_stop=early_stop,
             precision=precision,
             mode=mode,
+            loss_psum_axes=loss_psum_axes,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -457,6 +468,7 @@ def _full_run(
             interpret=interpret,
             early_stop=early_stop,
             precision=precision,
+            loss_psum_axes=loss_psum_axes,
         )
     return run_tm.__wrapped__(
         target_tm,
@@ -472,7 +484,8 @@ def _full_run(
         mode=mode,
         backend=backend,
         early_stop=early_stop,
-        precision=precision if isinstance(precision, jax.lax.Precision) else None,
+        precision=fourier.check_precision(precision, backend),
+        loss_psum_axes=loss_psum_axes,
     )
 
 
@@ -487,6 +500,7 @@ def griffin_lim(
     mode: str = "fori",
     backend: str = "auto",
     precision=None,
+    loss_psum_axes=None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:193-270).
@@ -505,6 +519,7 @@ def griffin_lim(
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
     from ..ops.pallas import gl_fused, gl_fused4
 
+    fallback_backend = None  # demotion target when auto picked the whole-run kernel
     if backend == "auto" and jax.default_backend() not in ("cpu",):
         # The fused four-step kernel is the fastest path and (via the
         # XLA-twin custom_vjp) fully differentiable — make it the TPU
@@ -512,11 +527,15 @@ def griffin_lim(
         # fused kernel (per-iteration, any clip length), then to XLA.
         from ..ops.pallas import gl_fullrun4
 
+        pallas_ok = gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3)
         if gl_fused4.supports(cfg, window) and gl_fullrun4.fits(
             cfg, spec_b3.shape[-1]
         ):
             backend = "pallas4"
-        elif gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3):
+            # The VMEM fit model is optimistic past VMEM_BUDGET: the first
+            # compile is the probe, and a Mosaic OOM demotes to this backend.
+            fallback_backend = "pallas" if pallas_ok else "auto"
+        elif pallas_ok:
             backend = "pallas"
     if backend == "pallas4" and not gl_fused4.supports(cfg, window):
         raise ValueError(
@@ -530,20 +549,27 @@ def griffin_lim(
                 "hop % 128 == 0, real window; use backend='auto' instead"
             )
     real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
-    x = _full_run(
-        spec_b3,
-        window,
-        jnp.asarray(alpha / (1 + alpha), dtype=real_dtype),
-        jnp.asarray(tol, dtype=real_dtype),
-        cfg,
-        max_iter=max_iter,
-        eva_iter=eva_iter,
-        metric=metric,
-        verbose=verbose,
-        mode=mode,
-        backend=backend,
-        interpret=jax.default_backend() == "cpu",
-        early_stop=bool(tol > 0),
-        precision=precision,
+
+    def launch(bk):
+        return _full_run(
+            spec_b3,
+            window,
+            jnp.asarray(alpha / (1 + alpha), dtype=real_dtype),
+            jnp.asarray(tol, dtype=real_dtype),
+            cfg,
+            max_iter=max_iter,
+            eva_iter=eva_iter,
+            metric=metric,
+            verbose=verbose,
+            mode=mode,
+            backend=bk,
+            interpret=jax.default_backend() == "cpu",
+            early_stop=bool(tol > 0),
+            precision=precision,
+            loss_psum_axes=loss_psum_axes,
+        )
+
+    x = run_with_vmem_demotion(
+        launch, backend, fallback_backend, cfg, spec_b3.shape[-1]
     )
     return restore_output(x, was_2d)

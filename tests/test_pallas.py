@@ -231,7 +231,10 @@ def test_fullrun_t_blocked_streaming_parity(algo, monkeypatch):
     b = np.asarray(fn(spec, backend="pallas4", eva_iter=11, **kw))
     np.testing.assert_allclose(b, a, atol=0)
 
+    # past the hard ceiling (not just the conservative budget — the band
+    # between them is now attempted optimistically) the launch refuses
     monkeypatch.setattr(gl_fullrun4, "VMEM_BUDGET", est_blk - 1)
+    monkeypatch.setattr(gl_fullrun4, "VMEM_CEILING", est_blk - 1)
     with pytest.raises(ValueError, match="too long"):
         fn(spec, backend="pallas4", eva_iter=12, **kw)
 
@@ -329,8 +332,8 @@ def test_segmented_verbose_reports(monkeypatch):
 
     msgs = []
     monkeypatch.setattr(
-        runner, "_progress_print",
-        lambda i, name, m, l: msgs.append(int(i)),
+        runner._Progress, "update",
+        lambda self, i, m, l: msgs.append(int(i)),
     )
     x = make_signal((22050,), dtype=np.float32)
     spec = _mag(x, 512, 128)
@@ -353,3 +356,116 @@ def test_quality_converges():
     recon = _mag(y, 512, 128)
     got = float(sc(jnp.asarray(recon), jnp.asarray(spec)))
     assert got < -13, got
+
+
+def test_vmem_demotion_and_deny_cache():
+    """A VMEM fit-model lie (compile-time Mosaic OOM despite fits()==True)
+    must demote the auto-selected backend, warn, and cache the rejection
+    (round-2 verdict weak #6)."""
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.models.common import run_with_vmem_demotion
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    cfg, _ = canonicalize(257, np.float32)  # n_fft=512, hop=128
+    T = 977
+    assert gl_fullrun4.fits(cfg, T)
+
+    calls = []
+
+    def launch(bk):
+        calls.append(bk)
+        if bk == "pallas4":
+            raise RuntimeError(
+                "Mosaic failed to compile: scoped vmem limit exceeded "
+                "(requested 130.2MiB)"
+            )
+        return "ok"
+
+    try:
+        with pytest.warns(UserWarning, match="demoting"):
+            out = run_with_vmem_demotion(launch, "pallas4", "pallas", cfg, T)
+        assert out == "ok"
+        assert calls == ["pallas4", "pallas"]
+        # the deny cache now rejects the shape without re-compiling
+        assert not gl_fullrun4.fits(cfg, T)
+
+        # non-VMEM errors propagate untouched
+        def broken(bk):
+            raise RuntimeError("unrelated kaboom")
+
+        with pytest.raises(RuntimeError, match="kaboom"):
+            run_with_vmem_demotion(broken, "pallas4", "pallas", cfg, T)
+
+        # an EXPLICIT pallas4 request (no fallback) still surfaces the OOM
+        with pytest.raises(RuntimeError, match="vmem"):
+            run_with_vmem_demotion(launch, "pallas4", None, cfg, T)
+    finally:
+        gl_fullrun4._fit_deny.clear()
+
+
+def test_fits_optimistic_band_exists():
+    """fits() is stricter with optimistic=False: there are clip lengths the
+    conservative budget rejects that the probe-backed band attempts."""
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    cfg, _ = canonicalize(1025, np.float32)  # n_fft=2048, hop=512
+    band = [
+        T for T in range(64, 4096, 64)
+        if gl_fullrun4.fits(cfg, T, optimistic=True)
+        and not gl_fullrun4.fits(cfg, T, optimistic=False)
+    ]
+    assert band, "no clip length falls in the optimistic VMEM band"
+    # monotone: anything the conservative budget accepts, the band accepts
+    for T in range(64, 4096, 256):
+        if gl_fullrun4.fits(cfg, T, optimistic=False):
+            assert gl_fullrun4.fits(cfg, T, optimistic=True)
+
+
+@pytest.mark.parametrize("tol,max_iter,eva_iter", [(0.0, 5, 10), (1e-9, 7, 3)])
+def test_fullrun_clip_packing_parity(monkeypatch, tol, max_iter, eva_iter):
+    """Clip packing (gl_fullrun4 pack>1) folds short clips into each grid
+    step; every op is row-independent so the result must be BITWISE equal to
+    pack=1 — single-launch (tol=0) and segmented+tail (tol>0) paths both."""
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    x = make_signal((4, 8820), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(
+        hop_length=128, max_iter=max_iter, eva_iter=eva_iter, tol=tol,
+        verbose=False, backend="pallas4",
+    )
+
+    monkeypatch.setattr(gl_fullrun4, "choose_pack", lambda *a, **k: 1)
+    base = np.asarray(griffin_lim(spec, **kw))
+    for pack in (2, 4):
+        monkeypatch.setattr(
+            gl_fullrun4, "choose_pack", lambda *a, _p=pack, **k: _p
+        )
+        out = np.asarray(griffin_lim(spec, mode="while", **kw))
+        np.testing.assert_allclose(out, base, atol=0)
+
+
+def test_choose_pack_policy():
+    """choose_pack: divisor of B, 1 for single clips, larger for short clips,
+    and bounded by the resident VMEM budget."""
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    cfg, _ = canonicalize(1025, np.float32)  # n_fft=2048, hop=512
+    assert gl_fullrun4.choose_pack(cfg, 87, 1) == 1
+    k16 = gl_fullrun4.choose_pack(cfg, 87, 16)  # 2 s clips, the bench config
+    assert k16 > 1 and 16 % k16 == 0
+    # long clips: rows already large, no packing
+    assert gl_fullrun4.choose_pack(cfg, 4096, 16) == 1
+    # never exceeds the resident budget
+    from specinv_tpu.models._pallas_driver import resolve_block_t
+
+    for T, B in ((87, 16), (256, 8), (64, 64)):
+        k = gl_fullrun4.choose_pack(cfg, T, B)
+        bt = resolve_block_t(T, cfg.n_fft, None)
+        t_pad = -(-T // bt) * bt
+        lx = (t_pad - 1) * cfg.hop_length + cfg.n_fft
+        assert gl_fullrun4.plane_vmem_bytes(
+            k * t_pad, k * bt, cfg.n_fft, k * lx, True, True, False
+        ) <= gl_fullrun4.VMEM_BUDGET
