@@ -134,13 +134,25 @@ def _np_read(path: str) -> Tuple[np.ndarray, int, int]:
                     tag = struct.unpack("<H", payload[24:26])[0]
                 fmt = (tag, ch, sr, bits)
             elif cid == b"data":
-                raw = f.read(sz)
+                # Streaming encoders write sz=0xFFFFFFFF, and truncated files
+                # declare more than they hold: clamp to what the file actually
+                # has left (mirrors the native reader's incremental loop)
+                # instead of attempting a multi-GB read.
+                pos = f.tell()
+                end = f.seek(0, 2)
+                f.seek(pos)
+                avail = max(end - pos, 0)
+                raw = f.read(min(sz, avail))
                 break
             else:
                 f.seek(sz + (sz & 1), 1)
         if fmt is None:
             raise ValueError(f"{path}: no fmt chunk")
         tag, ch, sr, bits = fmt
+        # a truncated tail that isn't a whole frame is dropped, not an
+        # opaque np.frombuffer itemsize error
+        frame_bytes = max((bits // 8) * ch, 1)
+        raw = raw[: len(raw) - (len(raw) % frame_bytes)]
         if tag == 3 and bits == 32:
             data = np.frombuffer(raw, "<f4").astype(np.float32)
         elif tag == 1 and bits == 16:
@@ -161,9 +173,16 @@ def _np_read(path: str) -> Tuple[np.ndarray, int, int]:
 
 
 def _np_write(path, flat, frames, channels, sr, pcm16):
+    bytes_per = 2 if pcm16 else 4
+    data_bytes = frames * channels * bytes_per
+    if data_bytes > 0xFFFFFFFF - 36:
+        # RIFF sizes are uint32; match the native path's ValueError instead
+        # of leaking a struct.error
+        raise ValueError(
+            f"{path}: audio too large for WAV ({data_bytes} data bytes "
+            "exceeds the RIFF uint32 limit)"
+        )
     with open(path, "wb") as f:
-        bytes_per = 2 if pcm16 else 4
-        data_bytes = frames * channels * bytes_per
         f.write(b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVEfmt ")
         f.write(
             struct.pack(

@@ -144,11 +144,14 @@ int wav_read_f32(const char* path, float* out, int64_t max_samples) {
 // pcm16=0 writes IEEE float32 verbatim.
 int wav_write_f32(const char* path, const float* data, int64_t frames,
                   int32_t channels, int32_t sample_rate, int32_t pcm16) {
+  const int bytes = pcm16 ? 2 : 4;
+  // RIFF sizes are uint32: audio past 4 GiB would silently wrap and write a
+  // corrupt header — reject it instead (wrappers raise ValueError).
+  const int64_t total = frames * static_cast<int64_t>(channels) * bytes;
+  if (total < 0 || total > static_cast<int64_t>(UINT32_MAX) - 36) return -10;
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
-  const int bytes = pcm16 ? 2 : 4;
-  const uint32_t data_bytes =
-      static_cast<uint32_t>(frames * channels * bytes);
+  const uint32_t data_bytes = static_cast<uint32_t>(total);
   const uint16_t fmt_tag = pcm16 ? 1 : 3;
   const uint16_t bits = pcm16 ? 16 : 32;
   const uint32_t byte_rate = sample_rate * channels * bytes;

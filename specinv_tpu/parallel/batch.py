@@ -32,7 +32,8 @@ from .mesh import shard_batch
 
 
 def batched(
-    fn: Callable, mesh: Mesh, axis_name: str = "data", gspmd: bool = False
+    fn: Callable, mesh: Mesh, axis_name: str = "data", gspmd: bool = False,
+    global_stop: bool = False,
 ) -> Callable:
     """Wrap a public algorithm entry point to run batch-sharded over ``mesh``.
 
@@ -40,9 +41,20 @@ def batched(
 
         gl = batched(specinv_tpu.griffin_lim, mesh)
         waves = gl(specs_bft, max_iter=100, tol=0.0, verbose=False)
+
+    .. warning:: **Early stopping (tol > 0) is per-shard by default.**  Each
+       shard stops on the mean loss of *its own* clips, so a tol-based run
+       can execute a different number of iterations per shard than the
+       unsharded call would (fixed-iteration ``tol=0`` runs are bitwise
+       identical).  Pass ``global_stop=True`` to psum the stop loss across
+       the ``data`` axis instead, reproducing the unsharded stop rule
+       exactly while keeping the fused per-shard kernels (supported for
+       ``griffin_lim``/``ADMM``; ``gspmd=True`` mode is always global).
     """
 
     def wrapper(spec, *args, **kwargs):
+        if global_stop and not gspmd:
+            kwargs.setdefault("loss_psum_axes", (axis_name,))
         import jax.numpy as jnp
 
         spec = as_array(spec)

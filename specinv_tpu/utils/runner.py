@@ -38,8 +38,65 @@ def _mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((d * d).real)
 
 
+def psum_mse(axes):
+    """MSE stop-loss reduced across the given mesh axes.
+
+    Under ``shard_map`` the plain :func:`_mse` sees only the local shard, so
+    each shard early-stops on its own mean loss.  This variant psums the
+    squared-error sum and the element count across ``axes``, reproducing the
+    unsharded global stop rule exactly (zero-padded clips contribute zero to
+    both numerator and — scale-invariantly — the stop ratio).
+    """
+
+    def loss(out: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+        d = out - tgt
+        local = jnp.sum((d * d).real)
+        cnt = jax.lax.psum(jnp.asarray(float(out.size), local.dtype), axes)
+        return jax.lax.psum(local, axes) / cnt
+
+    return loss
+
+
 def _progress_print(i, metric_name, metric_val, loss):
     print(f"iter {int(i) + 1}: {metric_name}={float(metric_val):.4f} loss={float(loss):.3e}")
+
+
+class _Progress:
+    """Host-side live progress bar fed by ``jax.debug.callback``.
+
+    Mirrors the reference's tqdm ergonomics (methods.py:177-184): a
+    continuously-updating bar over ``max_iter`` with a metric+loss postfix,
+    advanced once per evaluation.  Falls back to one plain line per eval if
+    tqdm is unavailable.  Because the compiled callback closure outlives one
+    call (jit cache), an update that rewinds the iteration counter starts a
+    fresh bar.
+    """
+
+    def __init__(self, max_iter: int, eva_iter: int, metric_name: str):
+        self.max_iter = max_iter
+        self.metric_name = metric_name
+        self.last_eval = eva_iter * (max_iter // eva_iter) - 1
+        self.bar = None
+
+    def update(self, i, metric_val, loss):
+        i, metric_val, loss = int(i), float(metric_val), float(loss)
+        try:
+            from tqdm import tqdm
+        except Exception:  # pragma: no cover - tqdm always present here
+            _progress_print(i, self.metric_name, metric_val, loss)
+            return
+        if self.bar is None or i + 1 <= self.bar.n:
+            if self.bar is not None:
+                self.bar.close()
+            self.bar = tqdm(total=self.max_iter, leave=True)
+        self.bar.update(i + 1 - self.bar.n)
+        self.bar.set_postfix(
+            {self.metric_name: f"{metric_val:.4f}", "loss": f"{loss:.3e}"},
+            refresh=True,
+        )
+        if i >= self.last_eval:
+            self.bar.close()
+            self.bar = None
 
 
 def host_callbacks_supported() -> bool:
@@ -122,6 +179,8 @@ def iterate(
     real_dtype = jnp.zeros((), dtype=target.dtype).real.dtype
     nan = jnp.array(jnp.nan, dtype=real_dtype)
 
+    progress = _Progress(max_iter, eva_iter, metric) if verbose else None
+
     def eval_and_stop(i, out, prev, init, done):
         is_eval = (i % eva_iter) == (eva_iter - 1)
 
@@ -135,7 +194,7 @@ def iterate(
                 metric_val = metric_fn(out_, target)
 
                 def _report(ii, l2_, m_):
-                    _progress_print(ii, metric, m_, l2_)
+                    progress.update(ii, m_, l2_)
 
                 jax.debug.callback(_report, i_, l2, metric_val)
             first = jnp.isnan(init_)
@@ -225,6 +284,8 @@ def iterate_segmented(
     real_dtype = jnp.zeros((), dtype=target.dtype).real.dtype
     nan = jnp.array(jnp.nan, dtype=real_dtype)
 
+    progress = _Progress(max_iter, eva_iter, metric) if verbose else None
+
     def seg_body(k, carry):
         st, prev, init, done = carry
         new_st, out = seg_fn(st)
@@ -236,7 +297,7 @@ def iterate_segmented(
             metric_val = metric_fn(out, target)
 
             def _report(kk, l2_, m_):
-                _progress_print((kk + 1) * eva_iter - 1, metric, m_, l2_)
+                progress.update((int(kk) + 1) * eva_iter - 1, m_, l2_)
 
             jax.debug.callback(_report, k, l2, metric_val)
         first = jnp.isnan(init)
@@ -267,8 +328,18 @@ def iterate_segmented(
         else:
             raise ValueError(f"unknown mode {mode!r} (expected 'fori' or 'while')")
     if tail_fn is not None and max_iter % eva_iter:
-        new_st, _ = tail_fn(state)
-        state = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(done, old, new), state, new_st
-        )
+        if mode == "while":
+            # mode='while' exists to skip post-stop work: don't pay the tail
+            # segment's whole Pallas launch just to discard it (ADVICE r2).
+            def _run_tail(st):
+                new_st, _ = tail_fn(st)
+                return new_st
+
+            state = jax.lax.cond(done, lambda st: st, _run_tail, state)
+        else:
+            # fori mode stays differentiable: execute, then mask-freeze.
+            new_st, _ = tail_fn(state)
+            state = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(done, old, new), state, new_st
+            )
     return state

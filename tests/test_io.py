@@ -111,3 +111,43 @@ def test_truncated_fmt_chunk_raises_valueerror(tmp_path):
         sio._np_read(p)
     with pytest.raises(ValueError):
         sio.read_wav(p)
+
+
+def test_lying_data_size_clamped(tmp_path, tone):
+    """A data chunk declaring 0xFFFFFFFF bytes (streaming encoders) or more
+    than the file holds decodes the actual payload instead of raising an
+    opaque frombuffer error (ADVICE r2)."""
+    p = tmp_path / "lie.wav"
+    sio.write_wav(str(p), tone, 22050, pcm16=True)
+    raw = bytearray(p.read_bytes())
+    assert raw[36:40] == b"data"
+    raw[40:44] = struct.pack("<I", 0xFFFFFFFF)
+    p.write_bytes(bytes(raw))
+    data, ch, sr = sio._np_read(str(p))
+    assert sr == 22050 and ch == 1 and data.shape[0] == tone.shape[0]
+
+    # truncated mid-sample: decodes the whole frames, drops the ragged tail
+    p2 = tmp_path / "trunc.wav"
+    p2.write_bytes(bytes(raw[: 44 + 2 * 100 + 1]))
+    data2, _, _ = sio._np_read(str(p2))
+    assert data2.shape[0] == 100
+
+
+def test_write_too_large_raises_valueerror(tmp_path):
+    """Both codec paths reject >4 GiB audio with ValueError instead of a
+    wrapped RIFF header (native) / struct.error (numpy) (ADVICE r2)."""
+    import ctypes
+
+    p = tmp_path / "big.wav"
+    with pytest.raises(ValueError, match="RIFF uint32 limit"):
+        sio._np_write(str(p), np.zeros(4, np.float32), 2**31, 1, 22050, False)
+    lib = sio._load()
+    if lib is not None:
+        buf = np.zeros(4, np.float32)
+        rc = lib.wav_write_f32(
+            str(p).encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            2**31, 1, 22050, 0,
+        )
+        assert rc == -10  # checked before any write: small buf never read
+        assert not p.exists()
