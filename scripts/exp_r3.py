@@ -1,0 +1,195 @@
+"""Round-3 interleaved A/B experiments.  Run ALONE on the TPU (1 host CPU:
+any concurrent client stretches compiles to minutes).
+
+Phases (pass one or more as argv):
+  pack      — clip packing on the batched whole-run kernel (B=16, n_fft=2048)
+  occupancy — batched occupancy B x n_fft, interleaved within each n_fft
+              (replaces the drift-contaminated serial table, VERDICT r2 #2)
+  rtisi     — RTISI stream batching x DFT backend (the fourier rows fix)
+
+Methodology: compile every variant of a phase first, then run timed rounds
+round-robin over the variants — tunnel-overhead drift (1.5-2x within a
+session) hits all variants equally, and the median over rounds is reported.
+Marginal per-iteration rates difference 400 vs 100 iterations within the
+same round.
+"""
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import specinv_tpu as si  # noqa: E402
+from specinv_tpu.config import canonicalize  # noqa: E402
+from specinv_tpu.ops import stft as stft_ops  # noqa: E402
+
+SR = 22050
+
+
+def _rb(a, tries=4):
+    for k in range(tries):
+        try:
+            return np.asarray(a)
+        except Exception:  # noqa: BLE001
+            if k == tries - 1:
+                raise
+            time.sleep(1.0 + 2.0 * k)
+
+
+def make_mag(B, seconds, n_fft, seed=1):
+    rng = np.random.default_rng(seed)
+    clips = rng.standard_normal((B, SR * seconds)).astype(np.float32)
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    cfg, w = canonicalize(n_fft // 2 + 1, np.float32, window=win)
+    m = jnp.swapaxes(
+        jnp.abs(stft_ops.stft(jnp.asarray(clips), cfg, jnp.asarray(w))), -1, -2
+    )
+    variants = [m * (1 + 1e-6 * i) for i in range(6)]
+    for v in variants:
+        _rb(v)
+    return variants, win
+
+
+def interleave_marginal(runners, rounds=3):
+    """runners: {name: fn(iters) -> device array}.  Compiles all variants,
+    then measures (t100, t400) per variant per round, round-robin.
+    Returns {name: {"marginal_it_s", "per_call_100_ms"}} from medians."""
+    for name, fn in runners.items():
+        t0 = time.time()
+        _rb(fn(100))
+        _rb(fn(400))
+        print(f"# compiled {name} in {time.time() - t0:.0f}s", flush=True)
+    samples = {name: [] for name in runners}
+    for _ in range(rounds):
+        for name, fn in runners.items():
+            t0 = time.perf_counter()
+            _rb(fn(100))
+            t100 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _rb(fn(400))
+            t400 = time.perf_counter() - t0
+            samples[name].append((t100, t400))
+    out = {}
+    for name, ss in samples.items():
+        marg = statistics.median(300.0 / max(t4 - t1, 1e-9) for t1, t4 in ss)
+        t100 = statistics.median(t1 for t1, _ in ss)
+        out[name] = {
+            "marginal_it_s": round(marg, 1),
+            "per_call_100_ms": round(t100 * 1e3, 1),
+        }
+    return out
+
+
+def phase_pack():
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    B, seconds, n_fft = 16, 2, 2048
+    variants, win = make_mag(B, seconds, n_fft)
+    vi = [0]
+    cfg, _ = canonicalize(n_fft // 2 + 1, np.float32)
+    T = int(variants[0].shape[-1])
+    auto_k = gl_fullrun4.choose_pack(cfg, T, B)
+    print(f"# T={T} frames, choose_pack -> {auto_k}", flush=True)
+
+    def runner(pack):
+        def fn(iters):
+            v = variants[vi[0] % len(variants)]
+            vi[0] += 1
+            return si.griffin_lim(
+                v, max_iter=iters, tol=0.0, verbose=False,
+                window=np.hanning(n_fft + 1)[:-1].astype(np.float32),
+                backend="pallas4", pack=pack,
+            )
+        return fn
+
+    # pack=16 exceeds the streamed VMEM ceiling at this geometry; 1-8 only
+    runners = {f"pack={k}": runner(k) for k in (1, 2, 4, 8)}
+    res = interleave_marginal(runners)
+    for name, r in res.items():
+        r["clip_it_s"] = round(r["marginal_it_s"] * B, 1)
+        print(json.dumps({"phase": "pack", "variant": name, "B": B,
+                          "n_fft": n_fft, **r}), flush=True)
+
+
+def phase_occupancy():
+    for n_fft in (512, 1024, 2048, 4096):
+        runners = {}
+        wins = {}
+        for B in (1, 4, 16):
+            variants, win = make_mag(B, 2, n_fft, seed=B)
+            wins[B] = (variants, win, [0])
+
+            def fn(iters, B=B):
+                variants, win, vi = wins[B]
+                v = variants[vi[0] % len(variants)]
+                vi[0] += 1
+                return si.griffin_lim(
+                    v, max_iter=iters, tol=0.0, verbose=False, window=win
+                )
+
+            runners[f"B={B}"] = fn
+        res = interleave_marginal(runners)
+        for name, r in res.items():
+            B = int(name.split("=")[1])
+            r["clip_it_s"] = round(r["marginal_it_s"] * B, 1)
+            print(json.dumps({"phase": "occupancy", "n_fft": n_fft,
+                              "variant": name, **r}), flush=True)
+
+
+def phase_rtisi():
+    n_fft, la, inner = 2048, 3, 25
+    out = {}
+    runners = {}
+    state = {}
+    for B in (1, 16):
+        variants, win = make_mag(B, 10, n_fft, seed=B)
+        steps = int(variants[0].shape[-1]) + la
+        for backend in ("fft", "matmul"):
+            if B == 1 and backend == "matmul":
+                continue  # rows=4 < 32: auto picks fft anyway; skip a compile
+            name = f"B={B},{backend}"
+            state[name] = (variants, win, [0], steps, B)
+
+            def fn(_iters, name=name, backend=backend):
+                variants, win, vi, _steps, _B = state[name]
+                v = variants[vi[0] % len(variants)]
+                vi[0] += 1
+                return si.RTISI_LA(
+                    v, look_ahead=la, max_iter=inner, verbose=False,
+                    window=win, backend=backend,
+                )
+            runners[name] = fn
+
+    # single timed quantity (whole call); interleave rounds
+    for name, fn in runners.items():
+        t0 = time.time()
+        _rb(fn(0))
+        print(f"# compiled {name} in {time.time() - t0:.0f}s", flush=True)
+    samples = {name: [] for name in runners}
+    for _ in range(3):
+        for name, fn in runners.items():
+            t0 = time.perf_counter()
+            _rb(fn(0))
+            samples[name].append(time.perf_counter() - t0)
+    for name, ss in samples.items():
+        t = statistics.median(ss)
+        _, _, _, steps, B = state[name]
+        print(json.dumps({
+            "phase": "rtisi", "variant": name,
+            "frames_s_aggregate": round(B * steps / t, 1),
+            "frames_s_per_stream": round(steps / t, 1),
+            "wall_s": round(t, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    phases = sys.argv[1:] or ["pack"]
+    for p in phases:
+        {"pack": phase_pack, "occupancy": phase_occupancy,
+         "rtisi": phase_rtisi}[p]()

@@ -234,7 +234,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -253,6 +253,7 @@ def run_tm_pallas4(
     precision=None,
     loss_psum_axes=None,
     mode: str = "fori",
+    pack: int | None = None,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the four-step fused kernel (ops/pallas/gl_fused4).
 
@@ -274,7 +275,8 @@ def run_tm_pallas4(
     inv_env = make_inv_env(cfg, window, T, geo)
     # Clip packing: short clips in a batch are folded into each grid step so
     # the MXU sees full row blocks (bitwise invariant; gl_fullrun4.choose_pack).
-    pack = gl_fullrun4.choose_pack(cfg, T, B, block_t=geo.block_t)
+    if pack is None:
+        pack = gl_fullrun4.choose_pack(cfg, T, B, block_t=geo.block_t)
 
     if cfg.onesided:
         tgt_full = fft4.extend_hermitian_mag(target_tm.astype(jnp.float32), n_fft)
@@ -408,7 +410,7 @@ def run_tm_pallas4(
     jax.jit,
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
-        "interpret", "early_stop", "precision", "loss_psum_axes",
+        "interpret", "early_stop", "precision", "loss_psum_axes", "pack",
     ),
 )
 def _full_run(
@@ -427,6 +429,7 @@ def _full_run(
     early_stop: bool,
     precision=None,
     loss_psum_axes=None,
+    pack=None,
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
@@ -452,6 +455,7 @@ def _full_run(
             precision=precision,
             mode=mode,
             loss_psum_axes=loss_psum_axes,
+            pack=pack,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -501,6 +505,7 @@ def griffin_lim(
     backend: str = "auto",
     precision=None,
     loss_psum_axes=None,
+    pack: int | None = None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:193-270).
@@ -567,6 +572,7 @@ def griffin_lim(
             early_stop=bool(tol > 0),
             precision=precision,
             loss_psum_axes=loss_psum_axes,
+            pack=pack,
         )
 
     x = run_with_vmem_demotion(
