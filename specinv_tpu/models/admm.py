@@ -232,7 +232,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -251,12 +251,13 @@ def run_tm_pallas4(
     precision=None,
     loss_psum_axes=None,
     mode: str = "fori",
+    pack: int | None = None,
 ) -> jnp.ndarray:
     """ADMM driven by the four-step fused kernels (ops/pallas/admm_fused4):
     Hermitian-extended full-spectrum iteration in permuted layout; the
     fixed-iteration path runs the whole loop in ONE Pallas launch."""
     from ..ops.framing import pad_center
-    from ..ops.pallas import fft4
+    from ..ops.pallas import fft4, gl_fullrun4
     from ..ops.pallas.admm_fused4 import fused_admm_run
     from ._pallas_driver import admm_xla_twin4, make_geometry4, make_inv_env
 
@@ -266,6 +267,8 @@ def run_tm_pallas4(
     n_fft = cfg.n_fft
     geo = make_geometry4(cfg, T, block_t=block_t)
     inv_env = make_inv_env(cfg, window, T, geo)
+    if pack is None:
+        pack = gl_fullrun4.choose_pack(cfg, T, B, block_t=geo.block_t)
 
     if cfg.onesided:
         tgt_full = fft4.extend_hermitian_mag(target_tm.astype(jnp.float32), n_fft)
@@ -302,7 +305,7 @@ def run_tm_pallas4(
                 x_pad, Yr, Yi, tgt, win, env, rho_, cfg, valid_t=T,
                 e=geo.e, n_iters=n_iters, block_t=geo.block_t,
                 interpret=interpret, precision=precision,
-                emit_state=True, with_mag=seg_mag,
+                emit_state=True, with_mag=seg_mag, pack=pack,
             )
             if seg_mag:
                 x_pad, Yr, Yi, mag = out
@@ -389,7 +392,7 @@ def run_tm_pallas4(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "pack"),
 )
 def _full_run(
     spec_b3: jnp.ndarray,
@@ -406,6 +409,7 @@ def _full_run(
     early_stop: bool,
     precision=None,
     loss_psum_axes=None,
+    pack=None,
 ) -> jnp.ndarray:
     spec_tm = jnp.swapaxes(spec_b3, -1, -2)
     if jnp.iscomplexobj(spec_tm):
@@ -429,6 +433,7 @@ def _full_run(
             precision=precision,
             mode=mode,
             loss_psum_axes=loss_psum_axes,
+            pack=pack,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -478,6 +483,7 @@ def ADMM(
     backend: str = "auto",
     precision=None,
     loss_psum_axes=None,
+    pack: int | None = None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:415-506).
@@ -533,6 +539,7 @@ def ADMM(
             early_stop=bool(tol > 0),
             precision=precision,
             loss_psum_axes=loss_psum_axes,
+            pack=pack,
         )
 
     x = run_with_vmem_demotion(

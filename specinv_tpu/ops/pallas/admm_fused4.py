@@ -55,7 +55,11 @@ def _admm_middle(
     r_re, r_im, y_sre, y_sim, tgt, rho,
     row0, valid_t: int, block_t: int, m: int,
 ):
-    """The elementwise DR-reduced ADMM update on (block_t, m, 128) planes."""
+    """The elementwise DR-reduced ADMM update on (pack*block_t, m, 128)
+    planes.  With clip packing the leading dim concatenates ``pack`` clips'
+    ``block_t``-row slabs; each clip's frame index is ``row0 + (l mod
+    block_t)`` (identical to ``row0 + l`` when unpacked)."""
+    rows = y_sre.shape[0]
     onep = 1.0 + rho  # true division, matching the XLA path bit-for-bit
     z_re = (rho * y_sre + r_re) / onep
     z_im = (rho * y_sim + r_im) / onep
@@ -67,7 +71,10 @@ def _admm_middle(
     gain = tgt / norm
     yn_re = t_re * gain + u_re
     yn_im = t_im * gain + u_im
-    row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_t, m, LANE), 0)
+    local = jax.lax.broadcasted_iota(jnp.int32, (rows, m, LANE), 0)
+    if rows != block_t:
+        local = jax.lax.rem(local, jnp.int32(block_t))
+    row = row0 + local
     valid = row < valid_t
     z = jnp.float32(0.0)
     return jnp.where(valid, yn_re, z), jnp.where(valid, yn_im, z)
@@ -97,6 +104,7 @@ def _kernel_full(
     emit_state: bool,
     with_mag: bool,
     t_blocked: bool,
+    pack: int,
 ):
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
@@ -112,6 +120,7 @@ def _kernel_full(
         k += 1
     (x_s, ys_re, ys_im, frames_s) = outs[k:]
 
+    lxc = x_s.shape[1] // pack  # per-clip slab length
     i = pl.program_id(1)
     t = pl.program_id(2)
     n_t = pl.num_programs(2)
@@ -124,12 +133,15 @@ def _kernel_full(
 
     @pl.when(jnp.logical_and(i == 0, t == 0))
     def _init_x():
-        x_s[pl.ds(0, 1), :] = x0_ref[0]
+        for c in range(pack):
+            x_s[pl.ds(0, 1), pl.ds(c * lxc, lxc)] = x0_ref[0, pl.ds(c, 1)]
 
-    sl = pl.ds(t * block_t, block_t)
+    # Packed planes are t-block-major (see gl_fullrun4._kernel): step t's
+    # slab for all clips is one contiguous pack*block_t-row slice.
+    sl = pl.ds(t * pack * block_t, pack * block_t)
 
     def _plane(ref):
-        # t_blocked: the ref window IS this t-block (streamed per step);
+        # t_blocked: the ref window IS this step's slab (streamed);
         # resident: the ref holds the whole plane, slice it.
         return ref[0] if t_blocked else ref[0, sl]
 
@@ -143,22 +155,26 @@ def _kernel_full(
         x_s[pl.ds(wr, 1), :] = jnp.zeros((1, x_s.shape[1]), jnp.float32)
 
     if n_fft % hop == 0:
-        for j in range(n_fft // hop):
-            seg = x_s[
-                pl.ds(rd, 1), pl.ds((t * block_t + j) * hop, block_t * hop)
-            ].reshape(block_t, hop)
-            frames_s[:, j * hop : (j + 1) * hop] = (
-                seg * window[j * hop : (j + 1) * hop]
-            )
+        for c in range(pack):
+            rows = pl.ds(c * block_t, block_t)
+            for j in range(n_fft // hop):
+                seg = x_s[
+                    pl.ds(rd, 1),
+                    pl.ds(c * lxc + (t * block_t + j) * hop, block_t * hop),
+                ].reshape(block_t, hop)
+                frames_s[rows, j * hop : (j + 1) * hop] = (
+                    seg * window[j * hop : (j + 1) * hop]
+                )
     else:
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            frames_s[tl, :] = x_s[
-                pl.ds(rd, 1), pl.ds(start, n_fft)
-            ].reshape(n_fft) * window
-            return 0
+        for c in range(pack):
+            def body(tl, _, c=c):
+                start = c * lxc + (t * block_t + tl) * hop
+                frames_s[c * block_t + tl, :] = x_s[
+                    pl.ds(rd, 1), pl.ds(start, n_fft)
+                ].reshape(n_fft) * window
+                return 0
 
-        jax.lax.fori_loop(0, block_t, body, 0)
+            jax.lax.fori_loop(0, block_t, body, 0)
 
     r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
 
@@ -191,40 +207,46 @@ def _kernel_full(
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
     if n_fft % hop == 0:
-        for j in range(n_fft // hop):
-            start = (t * block_t + j) * hop
-            idx = (pl.ds(wr, 1), pl.ds(start, block_t * hop))
-            cur = x_s[idx].reshape(block_t, hop)
-            add = fr[:, j * hop : (j + 1) * hop] * window[
-                j * hop : (j + 1) * hop
-            ]
-            x_s[idx] = (cur + add).reshape(1, block_t * hop)
+        for c in range(pack):
+            for j in range(n_fft // hop):
+                start = c * lxc + (t * block_t + j) * hop
+                idx = (pl.ds(wr, 1), pl.ds(start, block_t * hop))
+                cur = x_s[idx].reshape(block_t, hop)
+                add = fr[
+                    c * block_t : (c + 1) * block_t, j * hop : (j + 1) * hop
+                ] * window[j * hop : (j + 1) * hop]
+                x_s[idx] = (cur + add).reshape(1, block_t * hop)
     else:
-        def body_o(tl, _):
-            start = (t * block_t + tl) * hop
-            idx = (pl.ds(wr, 1), pl.ds(start, n_fft))
-            cur = x_s[idx].reshape(n_fft)
-            x_s[idx] = (cur + fr[tl, :] * window).reshape(1, n_fft)
-            return 0
+        for c in range(pack):
+            def body_o(tl, _, c=c):
+                start = c * lxc + (t * block_t + tl) * hop
+                idx = (pl.ds(wr, 1), pl.ds(start, n_fft))
+                cur = x_s[idx].reshape(n_fft)
+                x_s[idx] = (cur + fr[c * block_t + tl, :] * window).reshape(
+                    1, n_fft
+                )
+                return 0
 
-        jax.lax.fori_loop(0, block_t, body_o, 0)
+            jax.lax.fori_loop(0, block_t, body_o, 0)
 
     @pl.when(t == n_t - 1)
     def _normalize():
-        idx = (pl.ds(wr, 1), slice(None))
-        x_s[idx] = x_s[idx] * inv_env_ref[0]
-        _repad_slab(x_s, wr, jrev_ref, pad_mode, p_amt, e)
+        for c in range(pack):
+            idx = (pl.ds(wr, 1), pl.ds(c * lxc, lxc))
+            x_s[idx] = x_s[idx] * inv_env_ref[0]
+            _repad_slab(x_s, wr, jrev_ref, pad_mode, p_amt, e, base=c * lxc)
 
     @pl.when(jnp.logical_and(i == n_iters - 1, t == n_t - 1))
     def _emit():
-        x_out_ref[0] = x_s[pl.ds(wr, 1), :]
+        for c in range(pack):
+            x_out_ref[0, pl.ds(c, 1)] = x_s[pl.ds(wr, 1), pl.ds(c * lxc, lxc)]
 
 
 def fused_admm_run(
     x_pad, Y_re, Y_im, target, window, inv_env, rho,
     cfg: STFTConfig, valid_t: int, e: int, n_iters: int, block_t: int = 64,
     interpret: bool = False, precision=jax.lax.Precision.HIGH,
-    emit_state: bool = False, with_mag: bool = False,
+    emit_state: bool = False, with_mag: bool = False, pack: int = 1,
 ):
     """Run ``n_iters`` fused ADMM iterations in one launch -> final x_pad.
 
@@ -236,25 +258,41 @@ def fused_admm_run(
     the pre-update |R| of the LAST iteration, making the launch one eval
     segment of an early-stopping run (see gl_fullrun4.fused_gl_run).
     Return order: ``x_pad[, Y_re, Y_im][, mag]``.
+
+    ``pack`` folds that many clips into each grid step (bitwise invariant;
+    see gl_fullrun4.fused_gl_run / choose_pack).
     """
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
     assert lanes == LANE and m == n_fft // LANE and t_pad % block_t == 0
     lx = x_pad.shape[-1]
     assert lx == (t_pad - 1) * hop + n_fft
+    assert pack >= 1 and B % pack == 0
+    G = B // pack
+    n_t = t_pad // block_t
 
     from .gl_fullrun4 import VMEM_BUDGET, VMEM_CEILING, plane_vmem_bytes
 
     t_blocked = plane_vmem_bytes(
-        t_pad, block_t, n_fft, lx, emit_state, with_mag, False
+        pack * t_pad, pack * block_t, n_fft, pack * lx,
+        emit_state, with_mag, False,
     ) > VMEM_BUDGET
     if t_blocked and plane_vmem_bytes(
-        t_pad, block_t, n_fft, lx, emit_state, with_mag, True
+        pack * t_pad, pack * block_t, n_fft, pack * lx,
+        emit_state, with_mag, True,
     ) > VMEM_CEILING:
         raise ValueError(
             "clip too long for the whole-run kernel's VMEM state; use "
             "backend='pallas' or sequence parallelism"
         )
+
+    def pack_planes(a):
+        a = a.reshape(G, pack, n_t, block_t, m, LANE)
+        return jnp.swapaxes(a, 1, 2).reshape(G, pack * t_pad, m, LANE)
+
+    def unpack_planes(a):
+        a = a.reshape(G, n_t, pack, block_t, m, LANE)
+        return jnp.swapaxes(a, 1, 2).reshape(B, t_pad, m, LANE)
 
     tables = fft4.fourstep_tables(n_fft, cfg.normalized)
     np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
@@ -271,19 +309,22 @@ def fused_admm_run(
         pad_mode=pad_mode, p_amt=p_amt, e=e, fwd_p=fwd_p, inv_p=inv_p,
         np_tables=np_tables, n_iters=n_iters,
         emit_state=emit_state, with_mag=with_mag, t_blocked=t_blocked,
+        pack=pack,
     )
-    grid = (B, n_iters, t_pad // block_t)
+    grid = (G, n_iters, n_t)
     whole = lambda b, i, t: (b, 0, 0, 0)  # noqa: E731
-    sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (b, 0, 0))
+    sig = pl.BlockSpec((1, pack, lx), lambda b, i, t: (b, 0, 0))
     const_sig = pl.BlockSpec((1, 1, lx), lambda b, i, t: (0, 0, 0))
     if t_blocked:
-        blk = pl.BlockSpec((1, block_t, m, LANE), lambda b, i, t: (b, t, 0, 0))
+        blk = pl.BlockSpec(
+            (1, pack * block_t, m, LANE), lambda b, i, t: (b, t, 0, 0)
+        )
     else:
-        blk = pl.BlockSpec((1, t_pad, m, LANE), whole)
+        blk = pl.BlockSpec((1, pack * t_pad, m, LANE), whole)
 
-    plane = jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)
+    plane = jax.ShapeDtypeStruct((G, pack * t_pad, m, LANE), jnp.float32)
     out_specs = [sig]
-    out_shape = [jax.ShapeDtypeStruct((B, 1, lx), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((G, pack, lx), jnp.float32)]
     if emit_state:
         out_specs += [blk, blk]
         out_shape += [plane, plane]
@@ -310,9 +351,9 @@ def fused_admm_run(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, lx), jnp.float32),
-            *[pltpu.VMEM((t_pad, m, LANE), jnp.float32)] * 2,
-            pltpu.VMEM((block_t, n_fft), jnp.float32),
+            pltpu.VMEM((2, pack * lx), jnp.float32),
+            *[pltpu.VMEM((pack * t_pad, m, LANE), jnp.float32)] * 2,
+            pltpu.VMEM((pack * block_t, n_fft), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -325,9 +366,10 @@ def fused_admm_run(
         interpret=interpret,
     )(
         jnp.asarray(rho, jnp.float32).reshape(1, 1),
-        x_pad.astype(jnp.float32).reshape(B, 1, lx),
-        target.astype(jnp.float32),
-        Y_re.astype(jnp.float32), Y_im.astype(jnp.float32),
+        x_pad.astype(jnp.float32).reshape(G, pack, lx),
+        pack_planes(target.astype(jnp.float32)),
+        pack_planes(Y_re.astype(jnp.float32)),
+        pack_planes(Y_im.astype(jnp.float32)),
         *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
         jnp.asarray(window, jnp.float32).reshape(1, n_fft),
         jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
@@ -336,4 +378,4 @@ def fused_admm_run(
     x_fin = out[0].reshape(B, lx)
     if not emit_state and not with_mag:
         return x_fin
-    return (x_fin, *out[1:])
+    return (x_fin, *[unpack_planes(o) for o in out[1:]])

@@ -469,3 +469,19 @@ def test_choose_pack_policy():
         assert gl_fullrun4.plane_vmem_bytes(
             k * t_pad, k * bt, cfg.n_fft, k * lx, True, True, False
         ) <= gl_fullrun4.VMEM_BUDGET
+
+
+@pytest.mark.parametrize("tol,max_iter,eva_iter", [(0.0, 5, 10), (1e-9, 7, 3)])
+def test_admm_fullrun_clip_packing_parity(tol, max_iter, eva_iter):
+    """ADMM whole-run clip packing: bitwise equal to pack=1, including the
+    valid_t padded-row masking (rows beyond T must stay inert per clip)."""
+    x = make_signal((4, 8820), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(
+        hop_length=128, max_iter=max_iter, eva_iter=eva_iter, tol=tol,
+        verbose=False, backend="pallas4",
+    )
+    base = np.asarray(ADMM(spec, pack=1, **kw))
+    for pack in (2, 4):
+        out = np.asarray(ADMM(spec, pack=pack, **kw))
+        np.testing.assert_allclose(out, base, atol=0)
