@@ -113,6 +113,24 @@ def _rb(a, tries=5):
             time.sleep(1.0 + 2.0 * k)
 
 
+def probe_main():
+    """Tiny TPU liveness check run as a subprocess (hangs = dead tunnel)."""
+    import jax.numpy as jnp
+
+    a = jnp.ones((128, 128)) @ jnp.ones((128, 128))
+    assert float(np.asarray(a).sum()) > 0
+    print("PROBE_OK", flush=True)
+
+
+def tpu_probe(timeout):
+    cmd = [sys.executable, os.path.abspath(__file__), "--probe"]
+    try:
+        p = subprocess.run(cmd, timeout=timeout, capture_output=True, text=True)
+        return "PROBE_OK" in (p.stdout + p.stderr)
+    except Exception:  # noqa: BLE001 — timeout or spawn failure = not alive
+        return False
+
+
 def worker(backends, out_path, force_cpu=False):
     import jax
 
@@ -298,6 +316,20 @@ def main():
     stalls = {}  # backend -> consecutive attempts that made no progress on it
     attempt = 0
     try:
+        # A worker blocked on a dead tunnel can only be reaped by its
+        # timeout — probe first so a dead tunnel costs probe-sized retries
+        # (with recovery windows) instead of the whole budget.
+        tpu_ok = False
+        while time.time() < deadline - 500:
+            if tpu_probe(min(300.0, deadline - 460 - time.time())):
+                tpu_ok = True
+                break
+            print("# bench: TPU probe failed; retrying in 90s", file=sys.stderr)
+            time.sleep(90)
+        if not tpu_ok:
+            print("# bench: TPU tunnel unresponsive to probes", file=sys.stderr)
+            state["note"] = "TPU tunnel unresponsive to probes"
+            remaining = []  # drop to the CPU fallback below
         while remaining and attempt < 8 and time.time() < deadline - 120:
             attempt += 1
             # ~4 min/backend (two jit compiles on a slow tunnel + timed runs)
@@ -350,9 +382,14 @@ def main():
                   file=sys.stderr)
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--worker", "fft", res_path, "--cpu"]
+            # Scrub the axon plugin from the fallback's env entirely: with a
+            # dead tunnel, any accidental device touch hangs the process.
+            env = {k: v for k, v in os.environ.items()
+                   if not k.startswith(("PALLAS_AXON", "AXON_"))}
+            env["JAX_PLATFORMS"] = "cpu"
             try:
                 subprocess.run(cmd, timeout=max(30.0, deadline - time.time()),
-                               stdout=sys.stderr, stderr=sys.stderr)
+                               env=env, stdout=sys.stderr, stderr=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 print(f"# bench: CPU fallback failed: {e}", file=sys.stderr)
             state["results"] = _read_results(res_path)
@@ -443,7 +480,9 @@ def full_suite():
 
 
 if __name__ == "__main__":
-    if "--worker" in sys.argv:
+    if "--probe" in sys.argv:
+        probe_main()
+    elif "--worker" in sys.argv:
         i = sys.argv.index("--worker")
         worker(sys.argv[i + 1].split(","), sys.argv[i + 2],
                force_cpu="--cpu" in sys.argv)

@@ -108,6 +108,21 @@ def phase_pack():
             )
         return fn
 
+    # On-chip parity first: Mosaic-compiled packed kernel vs pack=1 on the
+    # SAME input (interpret-mode parity is pinned in tests; this checks the
+    # compiled lowering).
+    fixed = variants[0]
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    ys = {}
+    for k in (1, 4):
+        ys[k] = _rb(si.griffin_lim(
+            fixed, max_iter=20, tol=0.0, verbose=False, window=win,
+            backend="pallas4", pack=k,
+        ))
+    err = float(np.abs(ys[4] - ys[1]).max())
+    print(f"# on-chip pack parity max|diff| = {err:.3e}", flush=True)
+    assert err == 0.0, "packed kernel diverges from pack=1 on chip"
+
     # pack=16 exceeds the streamed VMEM ceiling at this geometry; 1-8 only
     runners = {f"pack={k}": runner(k) for k in (1, 2, 4, 8)}
     res = interleave_marginal(runners)
