@@ -273,10 +273,13 @@ def run_tm_pallas4(
     n_fft = cfg.n_fft
     geo = make_geometry4(cfg, T, block_t=block_t)
     inv_env = make_inv_env(cfg, window, T, geo)
+    with_mag = bool(early_stop or verbose)
     # Clip packing: short clips in a batch are folded into each grid step so
     # the MXU sees full row blocks (bitwise invariant; gl_fullrun4.choose_pack).
     if pack is None:
-        pack = gl_fullrun4.choose_pack(cfg, T, B, block_t=geo.block_t)
+        pack = gl_fullrun4.choose_pack(
+            cfg, T, B, block_t=geo.block_t, with_mag=with_mag
+        )
 
     if cfg.onesided:
         tgt_full = fft4.extend_hermitian_mag(target_tm.astype(jnp.float32), n_fft)
@@ -295,7 +298,6 @@ def run_tm_pallas4(
     x0 = istft(init_spec_tm, cfg, window).astype(jnp.float32)
     x_pad0 = jnp.pad(pad_center(x0, cfg), ((0, 0), (0, geo.lx - geo.lp)))
 
-    with_mag = bool(early_stop or verbose)
     twin_precision = (
         precision if isinstance(precision, jax.lax.Precision)
         else jax.lax.Precision.HIGHEST

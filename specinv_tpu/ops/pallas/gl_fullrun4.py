@@ -119,8 +119,15 @@ def fits(cfg: STFTConfig, T: int, block_t: int | None = None,
 
 
 # Stop growing ``pack`` once the per-step dot row count reaches this: the
-# MXU pipeline is saturated and further packing only costs VMEM.
-PACK_ROWS_TARGET = 2048
+# measured gains flatten past a few thousand rows (benchmarks.md).
+PACK_ROWS_TARGET = 4096
+
+# Packing only pays below this chunk count.  Measured (interleaved A/B,
+# B=16 x 2 s clips): n_fft=1024 +124% marginal it/s at pack=8, n_fft=512
+# +41% at pack=16, n_fft=2048 (m=16) neutral-to-negative — the m-point VPU
+# stage scales with m^2/row and dominates there, so packing has nothing
+# left to amortize.  See benchmarks.md "Clip packing".
+PACK_MAX_M = 8
 
 
 def choose_pack(
@@ -130,20 +137,22 @@ def choose_pack(
     """Pick the clip-packing factor for a (B, T)-shaped batch.
 
     Smallest divisor of ``B`` that brings the per-step MXU row count
-    (``pack * block_t * m``) to :data:`PACK_ROWS_TARGET`, subject to the
-    packed launch staying plane-RESIDENT within the conservative
-    :data:`VMEM_BUDGET` (packing that forces t-blocked streaming or the
+    (``pack * block_t * m``) to :data:`PACK_ROWS_TARGET`, for transforms
+    small enough that packing measures as a win (``m <= PACK_MAX_M``),
+    subject to the packed launch staying plane-RESIDENT within the
+    conservative :data:`VMEM_BUDGET` for its actual ``emit_state``/
+    ``with_mag`` flags (packing that forces t-blocked streaming or the
     optimistic band is never worth the risk — it exists for short clips,
     whose planes are small).
     """
-    if B <= 1:
+    m = cfg.n_fft // LANE
+    if B <= 1 or m > PACK_MAX_M:
         return 1
     from ...models._pallas_driver import resolve_block_t
 
     bt = resolve_block_t(T, cfg.n_fft, block_t)
     t_pad = -(-T // bt) * bt
     lx = (t_pad - 1) * cfg.hop_length + cfg.n_fft
-    m = cfg.n_fft // LANE
     best = 1
     for k in range(2, B + 1):
         if B % k:

@@ -447,27 +447,29 @@ def test_fullrun_clip_packing_parity(monkeypatch, tol, max_iter, eva_iter):
 
 
 def test_choose_pack_policy():
-    """choose_pack: divisor of B, 1 for single clips, larger for short clips,
+    """choose_pack: divisor of B, 1 for single clips, larger for short clips
+    at small n_fft, 1 at m > PACK_MAX_M (measured neutral — benchmarks.md),
     and bounded by the resident VMEM budget."""
     from specinv_tpu.config import canonicalize
     from specinv_tpu.ops.pallas import gl_fullrun4
 
-    cfg, _ = canonicalize(1025, np.float32)  # n_fft=2048, hop=512
-    assert gl_fullrun4.choose_pack(cfg, 87, 1) == 1
-    k16 = gl_fullrun4.choose_pack(cfg, 87, 16)  # 2 s clips, the bench config
+    cfg1k, _ = canonicalize(513, np.float32)  # n_fft=1024, hop=256
+    assert gl_fullrun4.choose_pack(cfg1k, 173, 1) == 1
+    k16 = gl_fullrun4.choose_pack(cfg1k, 173, 16)  # 2 s clips, bench config
     assert k16 > 1 and 16 % k16 == 0
-    # long clips: rows already large, no packing
-    assert gl_fullrun4.choose_pack(cfg, 4096, 16) == 1
+    # m > PACK_MAX_M: packing measured neutral, policy keeps 1
+    cfg2k, _ = canonicalize(1025, np.float32)  # n_fft=2048
+    assert gl_fullrun4.choose_pack(cfg2k, 87, 16) == 1
     # never exceeds the resident budget
     from specinv_tpu.models._pallas_driver import resolve_block_t
 
     for T, B in ((87, 16), (256, 8), (64, 64)):
-        k = gl_fullrun4.choose_pack(cfg, T, B)
-        bt = resolve_block_t(T, cfg.n_fft, None)
+        k = gl_fullrun4.choose_pack(cfg1k, T, B)
+        bt = resolve_block_t(T, cfg1k.n_fft, None)
         t_pad = -(-T // bt) * bt
-        lx = (t_pad - 1) * cfg.hop_length + cfg.n_fft
+        lx = (t_pad - 1) * cfg1k.hop_length + cfg1k.n_fft
         assert gl_fullrun4.plane_vmem_bytes(
-            k * t_pad, k * bt, cfg.n_fft, k * lx, True, True, False
+            k * t_pad, k * bt, cfg1k.n_fft, k * lx, True, True, False
         ) <= gl_fullrun4.VMEM_BUDGET
 
 
