@@ -280,6 +280,8 @@ def run_tm_pallas4(
         pack = gl_fullrun4.choose_pack(
             cfg, T, B, block_t=geo.block_t, with_mag=with_mag
         )
+    elif pack < 1 or B % pack:
+        raise ValueError(f"pack={pack} must be >= 1 and divide the batch size {B}")
 
     if cfg.onesided:
         tgt_full = fft4.extend_hermitian_mag(target_tm.astype(jnp.float32), n_fft)

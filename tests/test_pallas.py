@@ -487,3 +487,11 @@ def test_admm_fullrun_clip_packing_parity(tol, max_iter, eva_iter):
     for pack in (2, 4):
         out = np.asarray(ADMM(spec, pack=pack, **kw))
         np.testing.assert_allclose(out, base, atol=0)
+
+
+def test_pack_must_divide_batch():
+    x = make_signal((3, 8820), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    with pytest.raises(ValueError, match="divide the batch"):
+        griffin_lim(spec, hop_length=128, max_iter=2, tol=0.0, verbose=False,
+                    backend="pallas4", pack=2)
