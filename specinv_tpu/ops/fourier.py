@@ -80,7 +80,11 @@ def check_precision(precision, backend: str):
     )
 
 
-VALID_DFT_BACKENDS = ("auto", "fft", "matmul")
+VALID_DFT_BACKENDS = ("auto", "fft", "matmul", "matmul4")
+
+
+def _supports_fourstep(cfg: STFTConfig) -> bool:
+    return cfg.n_fft % 128 == 0
 
 
 def resolve_backend(backend: str, cfg: STFTConfig, dtype, rows: int = None) -> str:
@@ -113,6 +117,12 @@ def resolve_backend(backend: str, cfg: STFTConfig, dtype, rows: int = None) -> s
         return "fft"
     if rows is not None and rows < 32:
         return "fft"
+    # Four-step beats the direct matmul once the (n_fft, F) cos/sin tables
+    # get big: streaming them from HBM every call is what bounds small-row
+    # batched callers (measured +38% aggregate on 16-stream RTISI just from
+    # matmul-vs-fft; the 128-wide four-step tables are ~16x smaller again).
+    if cfg.n_fft >= 1024 and _supports_fourstep(cfg):
+        return "matmul4"
     return "matmul"
 
 
@@ -157,6 +167,48 @@ def _real_dtype(dtype) -> str:
     return str(jnp.zeros((), dtype=dtype).real.dtype)
 
 
+def _forward4(frames: jnp.ndarray, cfg: STFTConfig, precision) -> jnp.ndarray:
+    """Four-step matmul FFT (the fused kernels' fft4 math) in plain XLA.
+
+    Same MXU-friendly 128-deep contractions, but against 128x128 / m-size
+    tables instead of the direct path's (n_fft, F) cos/sin matrices — the
+    table HBM traffic is what bounds small-row batched callers (e.g. RTISI
+    serving: per refine step the direct tables are ~16 MB, the four-step
+    tables ~1 MB).
+    """
+    from .pallas import fft4
+
+    *lead, n_fft = frames.shape
+    assert n_fft == cfg.n_fft
+    bt = int(np.prod(lead)) if lead else 1
+    t = fft4.tables_as_jnp(cfg.n_fft, cfg.normalized)
+    fr = frames.reshape(bt, n_fft).astype(jnp.float32)
+    s_re, s_im = fft4.fwd4(fr, t, precision)
+    full = jax.lax.complex(
+        fft4.from_permuted(s_re, cfg.n_fft),
+        fft4.from_permuted(s_im, cfg.n_fft),
+    )
+    if cfg.onesided:
+        full = full[..., : cfg.num_freqs]
+    return full.reshape(*lead, full.shape[-1])
+
+
+def _inverse4(spec: jnp.ndarray, cfg: STFTConfig, precision) -> jnp.ndarray:
+    """Real part of the inverse DFT via the four-step factorization (XLA)."""
+    from .pallas import fft4
+
+    *lead, F = spec.shape
+    bt = int(np.prod(lead)) if lead else 1
+    t = fft4.tables_as_jnp(cfg.n_fft, cfg.normalized)
+    sp = spec.reshape(bt, F)
+    if cfg.onesided:
+        sp = fft4.extend_hermitian_spec(sp, cfg.n_fft)
+    p_re = fft4.to_permuted(sp.real.astype(jnp.float32), cfg.n_fft)
+    p_im = fft4.to_permuted(sp.imag.astype(jnp.float32), cfg.n_fft)
+    fr = fft4.inv4_real(p_re, p_im, t, precision)
+    return fr.reshape(*lead, cfg.n_fft)
+
+
 def forward(
     frames: jnp.ndarray,
     cfg: STFTConfig,
@@ -178,6 +230,12 @@ def forward(
         if cfg.onesided:
             return jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1, norm=cfg.fft_norm)
         return jnp.fft.fft(frames, n=cfg.n_fft, axis=-1, norm=cfg.fft_norm)
+    if backend == "matmul4":
+        if not _supports_fourstep(cfg):
+            raise ValueError(
+                f"backend='matmul4' needs n_fft % 128 == 0 (got {cfg.n_fft})"
+            )
+        return _forward4(frames, cfg, precision)
     if frames.dtype in (jnp.bfloat16, jnp.float16):
         # complex64 is the only complex carrier; lax.complex rejects bf16/fp16.
         frames = frames.astype(jnp.float32)
@@ -212,6 +270,12 @@ def inverse(
         if cfg.onesided:
             return jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1, norm=cfg.fft_norm)
         return jnp.fft.ifft(spec, n=cfg.n_fft, axis=-1, norm=cfg.fft_norm).real
+    if backend == "matmul4":
+        if not _supports_fourstep(cfg):
+            raise ValueError(
+                f"backend='matmul4' needs n_fft % 128 == 0 (got {cfg.n_fft})"
+            )
+        return _inverse4(spec, cfg, precision)
     ci, si = _inverse_matrices(
         cfg.n_fft, cfg.onesided, cfg.normalized, _real_dtype(spec.dtype)
     )

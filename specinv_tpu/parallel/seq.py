@@ -52,7 +52,9 @@ def _check_seq_backend(backend: str, algo: str) -> None:
     ``griffin_lim_seq(backend='pallas')`` would silently run the matmul DFT
     path instead (round-2 verdict weak #5).
     """
-    allowed = ("auto", "fft", "matmul") + (("pallas4",) if algo == "gl" else ())
+    allowed = ("auto", "fft", "matmul", "matmul4") + (
+        ("pallas4",) if algo == "gl" else ()
+    )
     if backend not in allowed:
         raise ValueError(
             f"backend {backend!r} is not supported on the sequence-parallel "

@@ -137,3 +137,48 @@ def test_envelope_matches_reference_lazy_envelope():
     cfg, wj = _canon(spec.shape[1], window=window)
     env = stft_ops.make_envelope(cfg, wj, spec.shape[-1])
     np.testing.assert_allclose(np.asarray(env), env_ref.numpy(), atol=1e-10)
+
+
+@pytest.mark.parametrize("onesided", [True, False])
+@pytest.mark.parametrize("normalized", [False, True])
+def test_matmul4_backend_matches_fft(onesided, normalized):
+    """The four-step XLA DFT backend (matmul4) matches jnp.fft on batched
+    frames, both directions (it shares fft4's math with the fused kernels
+    but runs as plain XLA for callers without a Pallas path)."""
+    import jax
+
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops import fourier
+
+    n_fft = 512
+    cfg, _ = canonicalize(
+        n_fft // 2 + 1 if onesided else n_fft, np.float32,
+        onesided=onesided, normalized=normalized,
+    )
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((3, 7, n_fft)).astype(np.float32))
+    ref = fourier.forward(frames, cfg, backend="fft")
+    out = fourier.forward(
+        frames, cfg, backend="matmul4", precision=jax.lax.Precision.HIGHEST
+    )
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4 * scale)
+
+    spec = ref
+    ref_i = fourier.inverse(spec, cfg, backend="fft")
+    out_i = fourier.inverse(
+        spec, cfg, backend="matmul4", precision=jax.lax.Precision.HIGHEST
+    )
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i),
+                               atol=5e-4 * float(jnp.abs(ref_i).max()) + 1e-6)
+
+
+def test_matmul4_rejects_bad_nfft():
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops import fourier
+
+    cfg, _ = canonicalize(251, np.float32)  # n_fft=500
+    frames = jnp.zeros((2, 500), np.float32)
+    with pytest.raises(ValueError, match="matmul4"):
+        fourier.forward(frames, cfg, backend="matmul4")
