@@ -182,3 +182,18 @@ def test_matmul4_rejects_bad_nfft():
     frames = jnp.zeros((2, 500), np.float32)
     with pytest.raises(ValueError, match="matmul4"):
         fourier.forward(frames, cfg, backend="matmul4")
+
+
+def test_matmul4_rejects_float64():
+    """Explicit matmul4 on f64 input must raise, not silently downcast to f32
+    (auto already routes f64 to the fft path)."""
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops import fourier
+
+    cfg, _ = canonicalize(257, np.float64)  # n_fft=512
+    frames = jnp.zeros((2, 512), jnp.float64)
+    with pytest.raises(ValueError, match="float64"):
+        fourier.forward(frames, cfg, backend="matmul4")
+    spec = jnp.zeros((2, 257), jnp.complex128)
+    with pytest.raises(ValueError, match="float64"):
+        fourier.inverse(spec, cfg, backend="matmul4")
