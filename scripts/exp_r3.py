@@ -6,6 +6,9 @@ Phases (pass one or more as argv):
   occupancy — batched occupancy B x n_fft, interleaved within each n_fft
               (replaces the drift-contaminated serial table, VERDICT r2 #2)
   rtisi     — RTISI stream batching x DFT backend (the fourier rows fix)
+  xover     — fft/matmul/matmul4 roundtrip crossover by dot rows (sets the
+              resolve_backend auto policy; traced-count fori chain so each
+              point is one compile, marginal 100-20 differencing)
 
 Methodology: compile every variant of a phase first, then run timed rounds
 round-robin over the variants — tunnel-overhead drift (1.5-2x within a
@@ -162,12 +165,16 @@ def phase_rtisi():
     out = {}
     runners = {}
     state = {}
-    for B in (1, 16):
+    for B in (1, 16, 64):
         variants, win = make_mag(B, 10, n_fft, seed=B)
         steps = int(variants[0].shape[-1]) + la
-        for backend in ("fft", "matmul"):
+        for backend in ("fft", "matmul", "matmul4"):
             if B == 1 and backend == "matmul":
-                continue  # rows=4 < 32: auto picks fft anyway; skip a compile
+                continue  # rows=4: direct-table streaming can't amortize
+            if B > 1 and backend == "fft":
+                continue  # known-slow at batched rows; save the compile
+            if B == 64 and backend == "matmul":
+                continue  # 384s compile at B=16 already; contrast at 16 suffices
             name = f"B={B},{backend}"
             state[name] = (variants, win, [0], steps, B)
 
@@ -203,8 +210,56 @@ def phase_rtisi():
         }), flush=True)
 
 
+def phase_xover():
+    """Backend crossover vs dot rows.  Ratios WITHIN a (n_fft, rows) point
+    are drift-cancelled (backends interleaved per rep); cross-point
+    magnitudes carry the tunnel's drift.  Caveat: in a roundtrip chain XLA
+    can elide matmul4's permuted-spectrum relayouts between iterations,
+    which real pipelines (framing/OLA between the transforms) cannot — the
+    large-row 2048 policy therefore comes from the GL-pipeline A/B, not
+    from this sweep (matmul 154 vs matmul4 372 us/iter at 431 rows)."""
+    from jax import lax
+    from specinv_tpu.ops import fourier
+
+    grid = [
+        (2048, (4, 16, 64, 256, 512), ("fft", "matmul", "matmul4")),
+        (1024, (32, 128, 512), ("matmul", "matmul4")),
+        (4096, (32, 128, 512), ("matmul", "matmul4")),
+    ]
+    rng = np.random.default_rng(0)
+    for n_fft, rows_list, backends in grid:
+        cfg, _ = canonicalize(n_fft // 2 + 1, np.float32)
+        for rows in rows_list:
+            fr = jnp.asarray(
+                rng.standard_normal((rows, n_fft)).astype(np.float32))
+            fns = {}
+            for b in backends:
+                @jax.jit
+                def rt(fr, n, b=b):
+                    def body(_, x):
+                        sp = fourier.forward(x, cfg, backend=b)
+                        return fourier.inverse(sp, cfg, backend=b)
+                    return lax.fori_loop(0, n, body, fr)
+                fns[b] = rt
+            for b, fn in fns.items():
+                _rb(fn(fr, 20)), _rb(fn(fr, 100))
+            samples = {b: [] for b in backends}
+            for _ in range(9):
+                for b, fn in fns.items():
+                    t0 = time.perf_counter(); _rb(fn(fr, 20))
+                    ts = time.perf_counter() - t0
+                    t0 = time.perf_counter(); _rb(fn(fr, 100))
+                    samples[b].append(time.perf_counter() - t0 - ts)
+            for b, ss in samples.items():
+                d = statistics.median(ss) / 80.0
+                print(json.dumps({
+                    "phase": "xover", "n_fft": n_fft, "rows": rows,
+                    "backend": b,
+                    "marginal_roundtrip_us": round(d * 1e6, 1)}), flush=True)
+
+
 if __name__ == "__main__":
     phases = sys.argv[1:] or ["pack"]
     for p in phases:
         {"pack": phase_pack, "occupancy": phase_occupancy,
-         "rtisi": phase_rtisi}[p]()
+         "rtisi": phase_rtisi, "xover": phase_xover}[p]()

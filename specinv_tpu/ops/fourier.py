@@ -11,8 +11,15 @@ two viable lowerings and the faster one depends on size:
   (512-4096) this beats XLA's TPU FFT despite the O(N^2) vs O(N log N) FLOP
   difference, and — crucially — it fuses with the neighboring elementwise
   projection work instead of forcing an FFT op boundary.
-* ``backend="auto"``  — matmul on TPU for n_fft <= 8192 float32/bfloat16,
-  FFT otherwise (and always on CPU / for float64 / complex windows).
+* ``backend="matmul4"`` — the four-step factorization N = m*128 (the fused
+  kernels' fft4 math) as plain XLA dots; ~16x smaller twiddle tables than
+  the direct matmul, which wins whenever table streaming (not relayout)
+  bounds the call: small row counts at n_fft >= 2048, all row counts at
+  n_fft >= 4096.
+* ``backend="auto"``  — measured crossover policy (see resolve_backend):
+  matmul4 for n_fft >= 4096 and for small-row n_fft = 2048 work (e.g.
+  RTISI refine steps), direct matmul otherwise, FFT on CPU / float64 /
+  tiny rows at non-four-step sizes / n_fft > 8192.
 
 All functions operate time-major: frames ``(..., T, n_fft)`` <-> spectra
 ``(..., T, F)``.
@@ -133,14 +140,25 @@ def resolve_backend(backend: str, cfg: STFTConfig, dtype, rows: int = None) -> s
         return "fft"
     if cfg.n_fft > 8192:
         return "fft"
+    # Policy from the round-3 interleaved crossover sweep (scripts/exp_r3.py
+    # xover/tinyrows phases; ratios within a point are drift-cancelled):
+    #
+    #   n_fft=1024: direct matmul wins at every measured row count >= 32
+    #     (matmul4 1.1-2.2x slower — its tables are already small enough
+    #     that relayout overhead dominates the streaming saving).
+    #   n_fft=2048: matmul4 wins up to ~256 rows (2.6x vs fft at 4-16 rows,
+    #     3.5x aggregate on 16-stream RTISI at 64 rows) but LOSES 2.4x to
+    #     matmul inside the large-row GL pipeline (431 rows): the permuted
+    #     spectrum relayouts cannot cancel across framing/OLA, while the
+    #     (n_fft, F) cos/sin streaming amortizes over many rows.
+    #   n_fft=4096: matmul4 wins at every measured row count (2.3-2.8x even
+    #     at 512 rows — the 67 MB direct tables dominate everything).
+    if _supports_fourstep(cfg) and cfg.n_fft >= 2048:
+        if cfg.n_fft >= 4096 or rows is None or rows < 256:
+            return "matmul4"
+        return "matmul"
     if rows is not None and rows < 32:
         return "fft"
-    # Four-step beats the direct matmul once the (n_fft, F) cos/sin tables
-    # get big: streaming them from HBM every call is what bounds small-row
-    # batched callers (measured +38% aggregate on 16-stream RTISI just from
-    # matmul-vs-fft; the 128-wide four-step tables are ~16x smaller again).
-    if cfg.n_fft >= 1024 and _supports_fourstep(cfg):
-        return "matmul4"
     return "matmul"
 
 
@@ -200,6 +218,10 @@ def _forward4(frames: jnp.ndarray, cfg: STFTConfig, precision) -> jnp.ndarray:
     assert n_fft == cfg.n_fft
     bt = int(np.prod(lead)) if lead else 1
     t = fft4.tables_as_jnp(cfg.n_fft, cfg.normalized)
+    # Same producer-fusion hazard as the direct path: keep the strided
+    # framing gather out of the four-step dot operands (see the barrier note
+    # in forward()).
+    frames = jax.lax.optimization_barrier(frames)
     fr = frames.reshape(bt, n_fft).astype(jnp.float32)
     s_re, s_im = fft4.fwd4(fr, t, precision)
     full = jax.lax.complex(
@@ -224,6 +246,8 @@ def _inverse4(spec: jnp.ndarray, cfg: STFTConfig, precision) -> jnp.ndarray:
     p_re = fft4.to_permuted(sp.real.astype(jnp.float32), cfg.n_fft)
     p_im = fft4.to_permuted(sp.imag.astype(jnp.float32), cfg.n_fft)
     fr = fft4.inv4_real(p_re, p_im, t, precision)
+    # Mirror barrier: keep the overlap-add consumer out of the dot epilogue.
+    fr = jax.lax.optimization_barrier(fr)
     return fr.reshape(*lead, cfg.n_fft)
 
 

@@ -197,3 +197,36 @@ def test_matmul4_rejects_float64():
     spec = jnp.zeros((2, 257), jnp.complex128)
     with pytest.raises(ValueError, match="float64"):
         fourier.inverse(spec, cfg, backend="matmul4")
+
+
+def test_auto_backend_policy(monkeypatch):
+    """The measured crossover policy (scripts/exp_r3.py xover + the GL
+    pipeline A/B): matmul4 owns n_fft>=4096 and small-row 2048 work, the
+    direct matmul owns 1024 and large-row 2048, fft owns CPU/f64/tiny rows
+    at non-four-step sizes."""
+    import jax
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops import fourier
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def pick(n_fft, rows):
+        cfg, _ = canonicalize(n_fft // 2 + 1, np.float32)
+        return fourier.resolve_backend("auto", cfg, np.float32, rows=rows)
+
+    assert pick(2048, 4) == "matmul4"      # single-stream RTISI refine
+    assert pick(2048, 64) == "matmul4"     # 16-stream RTISI refine
+    assert pick(2048, 431) == "matmul"     # north-star GL XLA path
+    assert pick(1024, 64) == "matmul"
+    assert pick(1024, 512) == "matmul"
+    assert pick(4096, 512) == "matmul4"
+    assert pick(4096, 4) == "matmul4"
+    # non-four-step size: tiny rows fall back to fft, else direct matmul
+    cfg, _ = canonicalize(251, np.float32)  # n_fft=500, not %128
+    assert fourier.resolve_backend("auto", cfg, np.float32, rows=4) == "fft"
+    assert fourier.resolve_backend("auto", cfg, np.float32, rows=64) == "matmul"
+    # f64 always fft on device; CPU always fft
+    cfg2, _ = canonicalize(1025, np.float64)
+    assert fourier.resolve_backend("auto", cfg2, np.float64, rows=64) == "fft"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert pick(4096, 512) == "fft"
