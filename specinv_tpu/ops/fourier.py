@@ -13,13 +13,15 @@ two viable lowerings and the faster one depends on size:
   projection work instead of forcing an FFT op boundary.
 * ``backend="matmul4"`` — the four-step factorization N = m*128 (the fused
   kernels' fft4 math) as plain XLA dots; ~16x smaller twiddle tables than
-  the direct matmul, which wins whenever table streaming (not relayout)
-  bounds the call: small row counts at n_fft >= 2048, all row counts at
-  n_fft >= 4096.
-* ``backend="auto"``  — measured crossover policy (see resolve_backend):
-  matmul4 for n_fft >= 4096 and for small-row n_fft = 2048 work (e.g.
-  RTISI refine steps), direct matmul otherwise, FFT on CPU / float64 /
-  tiny rows at non-four-step sizes / n_fft > 8192.
+  the direct matmul, but each call pays permuted-spectrum relayouts that
+  real pipelines (framing/OLA between transforms) cannot elide — measured
+  in-pipeline it never beats the better of fft/matmul, so ``auto`` never
+  picks it.  Kept as an explicit backend (and as the XLA twin of the fused
+  Pallas kernels, where VMEM-resident tables make the same math the
+  fastest path on the chip).
+* ``backend="auto"``  — measured in-pipeline policy (see resolve_backend):
+  FFT on CPU / float64 / complex windows / tiny rows / n_fft >= 4096,
+  direct matmul otherwise.
 
 All functions operate time-major: frames ``(..., T, n_fft)`` <-> spectra
 ``(..., T, F)``.
@@ -140,23 +142,24 @@ def resolve_backend(backend: str, cfg: STFTConfig, dtype, rows: int = None) -> s
         return "fft"
     if cfg.n_fft > 8192:
         return "fft"
-    # Policy from the round-3 interleaved crossover sweep (scripts/exp_r3.py
-    # xover/tinyrows phases; ratios within a point are drift-cancelled):
+    # Policy from the round-3 IN-PIPELINE interleaved A/Bs (GL marginal
+    # 400-100 differencing and whole-call RTISI-LA serving; see
+    # benchmarks.md "DFT backend crossover").  The xover roundtrip-chain
+    # sweep (scripts/exp_r3.py) had suggested matmul4 niches, but a bare
+    # forward<->inverse chain lets XLA elide matmul4's permuted-spectrum
+    # relayouts, which framing/OLA between the transforms prevents — only
+    # pipeline measurements are trusted here:
     #
-    #   n_fft=1024: direct matmul wins at every measured row count >= 32
-    #     (matmul4 1.1-2.2x slower — its tables are already small enough
-    #     that relayout overhead dominates the streaming saving).
-    #   n_fft=2048: matmul4 wins up to ~256 rows (2.6x vs fft at 4-16 rows,
-    #     3.5x aggregate on 16-stream RTISI at 64 rows) but LOSES 2.4x to
-    #     matmul inside the large-row GL pipeline (431 rows): the permuted
-    #     spectrum relayouts cannot cancel across framing/OLA, while the
-    #     (n_fft, F) cos/sin streaming amortizes over many rows.
-    #   n_fft=4096: matmul4 wins at every measured row count (2.3-2.8x even
-    #     at 512 rows — the 67 MB direct tables dominate everything).
-    if _supports_fourstep(cfg) and cfg.n_fft >= 2048:
-        if cfg.n_fft >= 4096 or rows is None or rows < 256:
-            return "matmul4"
-        return "matmul"
+    #   n_fft=4096: fft wins the GL pipeline (142 us/iter vs matmul4 168,
+    #     matmul 289) and ties batched RTISI within 8%; the direct matmul's
+    #     ~134 MB of per-roundtrip table streaming is the loser.
+    #   n_fft<=2048, >=32 rows: matmul wins (GL 2048: 4235 it/s vs matmul4
+    #     2748; 16-stream RTISI: matmul 8745 ~ matmul4 8570 >> fft 5227
+    #     frames/s aggregate).
+    #   tiny rows (<32): latency-bound, fft's single op wins (1-stream
+    #     RTISI: fft 2005 vs matmul4 1798 vs matmul 1467 frames/s).
+    if cfg.n_fft >= 4096:
+        return "fft"
     if rows is not None and rows < 32:
         return "fft"
     return "matmul"

@@ -200,10 +200,10 @@ def test_matmul4_rejects_float64():
 
 
 def test_auto_backend_policy(monkeypatch):
-    """The measured crossover policy (scripts/exp_r3.py xover + the GL
-    pipeline A/B): matmul4 owns n_fft>=4096 and small-row 2048 work, the
-    direct matmul owns 1024 and large-row 2048, fft owns CPU/f64/tiny rows
-    at non-four-step sizes."""
+    """The measured in-pipeline policy (GL marginal + RTISI serving A/Bs,
+    benchmarks.md "DFT backend crossover"): fft owns tiny rows and
+    n_fft>=4096, the direct matmul owns everything else on TPU; matmul4 is
+    explicit-only (its relayouts lose in-pipeline everywhere)."""
     import jax
     from specinv_tpu.config import canonicalize
     from specinv_tpu.ops import fourier
@@ -214,14 +214,15 @@ def test_auto_backend_policy(monkeypatch):
         cfg, _ = canonicalize(n_fft // 2 + 1, np.float32)
         return fourier.resolve_backend("auto", cfg, np.float32, rows=rows)
 
-    assert pick(2048, 4) == "matmul4"      # single-stream RTISI refine
-    assert pick(2048, 64) == "matmul4"     # 16-stream RTISI refine
+    assert pick(2048, 4) == "fft"          # single-stream RTISI refine
+    assert pick(2048, 64) == "matmul"      # 16-stream RTISI refine
     assert pick(2048, 431) == "matmul"     # north-star GL XLA path
     assert pick(1024, 64) == "matmul"
     assert pick(1024, 512) == "matmul"
-    assert pick(4096, 512) == "matmul4"
-    assert pick(4096, 4) == "matmul4"
-    # non-four-step size: tiny rows fall back to fft, else direct matmul
+    assert pick(4096, 512) == "fft"        # 134 MB direct tables lose
+    assert pick(4096, 4) == "fft"
+    assert pick(2048, None) == "matmul"    # unknown rows: assume bulk work
+    # non-four-step size: same rules (the policy is size/rows, not m%128)
     cfg, _ = canonicalize(251, np.float32)  # n_fft=500, not %128
     assert fourier.resolve_backend("auto", cfg, np.float32, rows=4) == "fft"
     assert fourier.resolve_backend("auto", cfg, np.float32, rows=64) == "matmul"
