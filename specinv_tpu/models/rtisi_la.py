@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.framing import frame, overlap_add
+from ..ops.pallas import fft4, rtisi_fused4
 from ..ops.stft import make_envelope
 from ..utils.runner import gate_verbose
 from .common import as_array as common_as_array
@@ -49,6 +50,12 @@ _progress_sink = _default_progress
 
 def _report_progress(msg: str) -> None:
     _progress_sink(msg)
+
+
+# Row bound per fused-kernel launch: chunk batches so B*(la+1) stays at the
+# measured sweet spot (benchmarks.md "Batched RTISI-LA": 64 rows -> 11.7k
+# frames/s aggregate; 256 rows -> 3.4k).
+_KERNEL_CHUNK_ROWS = 64
 
 
 class RTISIState(NamedTuple):
@@ -146,6 +153,61 @@ def _frame_step(
     return RTISIState(keeped=keeped, update=update, pre_spec=pre_spec), committed
 
 
+def _kernel_frame_step(
+    keeped: jnp.ndarray,      # (B, num_keep, n_fft)
+    update_fm: jnp.ndarray,   # (R, n_fft) frame-major in-flight frames
+    pre_re: jnp.ndarray,      # (R, m, 128) permuted momentum
+    pre_im: jnp.ndarray,
+    target_fm_p: jnp.ndarray,  # (R, m, 128) permuted magnitude, frame-major
+    window: jnp.ndarray,
+    lr,
+    cfg: STFTConfig,
+    look_ahead: int,
+    asymmetric_window: bool,
+    max_iter: int,
+    interpret: bool = False,
+    precision=None,
+):
+    """One RTISI-LA output-frame step through the fused refine kernel
+    (:mod:`..ops.pallas.rtisi_fused4`): all ``max_iter`` refinements in one
+    launch with the four-step tables and state VMEM-resident.  Same math as
+    :func:`_frame_step`; the committed-context OLA prefix is loop-invariant
+    so it is precomputed here and added once per refinement in-kernel."""
+    la = look_ahead
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    B = keeped.shape[0]
+    num_keep = (n_fft - 1) // hop
+    synth_coeff = hop / jnp.sum(window * window)
+    synth_window = window * synth_coeff
+    if asymmetric_window:
+        aw1, aw2 = _asym_windows(window, hop, num_keep, synth_coeff)
+    else:
+        aw1 = aw2 = window
+    L = la * hop + n_fft
+    if num_keep:
+        # Committed frames' OLA, coords shifted past the dropped prefix
+        # (methods.py:365-370); constant across the refinements.
+        ola = overlap_add(keeped * synth_window, hop)
+        tail = ola[..., num_keep * hop :]
+        x_keep = jnp.pad(tail, ((0, 0), (0, L - tail.shape[-1])))
+    else:
+        x_keep = jnp.zeros((B, L), jnp.float32)
+    prec = precision if precision is not None else jax.lax.Precision.HIGH
+    upd, new_pre_re, new_pre_im = rtisi_fused4.refine_run4(
+        x_keep, update_fm, pre_re, pre_im, target_fm_p,
+        window, aw1, aw2, synth_window, lr, cfg,
+        max_iter=max_iter, asym=asymmetric_window,
+        interpret=interpret, precision=prec,
+    )
+    committed = upd[:B]
+    if num_keep:
+        keeped = jnp.concatenate(
+            [keeped[:, 1:], committed[:, None].astype(keeped.dtype)], axis=1
+        )
+    update_fm = jnp.concatenate([upd[B:], jnp.zeros_like(upd[:B])], axis=0)
+    return (keeped, update_fm, new_pre_re, new_pre_im), committed
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -155,6 +217,8 @@ def _frame_step(
         "max_iter",
         "verbose",
         "backend",
+        "interpret",
+        "precision",
     ),
 )
 def run_tm(
@@ -167,58 +231,131 @@ def run_tm(
     max_iter: int = 25,
     verbose: bool = False,
     backend: str = "auto",
+    interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
-    """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L)."""
+    """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L).
+
+    ``backend='pallas4'`` runs each output-frame step through the fused
+    refine kernel (momentum carried in permuted four-step layout across the
+    whole scan — no per-step relayout); everything else takes the XLA scan
+    with per-call DFT lowering via :func:`fourier.resolve_backend`.
+    """
     B, steps, F = target_tm.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
     la = look_ahead
     num_keep = (n_fft - 1) // hop
+    use_kernel = backend == "pallas4"
+
+    # The fused kernel's sweet spot is <= ~64 DFT rows per launch (measured:
+    # 11.7k frames/s aggregate at 64 rows vs 3.4k at 256 — benchmarks.md);
+    # larger batches are independent streams, so run them as sequential
+    # row-bounded chunks of one compiled program (zero-magnitude padding is
+    # benign: projection gain 0/(|S|+eps) = 0).
+    chunk_b = max(1, _KERNEL_CHUNK_ROWS // (la + 1))
+    if use_kernel and B > chunk_b:
+        nb = -(-B // chunk_b)
+        pad_b = nb * chunk_b - B
+        tgt = jnp.pad(target_tm, ((0, pad_b), (0, 0), (0, 0)))
+        out = jax.lax.map(
+            lambda t: run_tm(
+                t, window, lr, cfg, look_ahead=la,
+                asymmetric_window=asymmetric_window, max_iter=max_iter,
+                verbose=verbose, backend=backend, interpret=interpret,
+                precision=precision,
+            ),
+            tgt.reshape(nb, chunk_b, steps, F),
+        )
+        return out.reshape(nb * chunk_b, -1)[:B]
 
     # Pad the target by `la` frames on both sides of the time axis (339).
     target_pad = jnp.pad(target_tm, ((0, 0), (la, la), (0, 0)))
 
-    inv = partial(fourier.inverse, cfg=cfg, backend=backend)
+    inv = partial(
+        fourier.inverse, cfg=cfg, backend="auto" if use_kernel else backend
+    )
 
     # First frame seeded with zero phase (352-358).
     first = inv(target_pad[:, la : la + 1].astype(target_pad.dtype) + 0j)
-    update0 = jnp.concatenate(
-        [jnp.zeros((B, la, n_fft), first.dtype), first], axis=1
-    )
-    state0 = RTISIState(
-        keeped=jnp.zeros((B, num_keep, n_fft), first.dtype),
-        update=update0,
-        pre_spec=jnp.zeros(
-            (B, la + 1, F), dtype=jnp.result_type(first.dtype, jnp.complex64)
-        ),
-    )
 
-    def outer(state: RTISIState, i):
-        target_slice = jax.lax.dynamic_slice_in_dim(target_pad, i, la + 1, axis=1)
-        new_state, committed = _frame_step(
-            state, target_slice, window, lr, cfg,
-            look_ahead=la, asymmetric_window=asymmetric_window,
-            max_iter=max_iter, backend=backend,
+    def report(i):
+        # Chunked, unordered host callback: reports every `every` frames
+        # (≤ ~16 reports per run) without serializing the scan — the
+        # reference's per-frame tqdm equivalent (methods.py:362,400).
+        total = steps + la
+        every = max(1, total // 16)
+
+        def _cb(i_):
+            _report_progress(f"rtisi-la frame {int(i_) + 1}/{total}")
+
+        jax.lax.cond(
+            jnp.logical_or((i + 1) % every == 0, i + 1 == total),
+            lambda: jax.debug.callback(_cb, i, ordered=False),
+            lambda: None,
         )
-        if verbose:
-            # Chunked, unordered host callback: reports every `every` frames
-            # (≤ ~16 reports per run) without serializing the scan — the
-            # reference's per-frame tqdm equivalent (methods.py:362,400).
-            total = steps + la
-            every = max(1, total // 16)
 
-            def _cb(i_):
-                _report_progress(f"rtisi-la frame {int(i_) + 1}/{total}")
+    if use_kernel:
+        m = n_fft // 128
+        R = (la + 1) * B
+        # Hermitian-extend + permute the whole padded target ONCE, frame-
+        # major-sliceable: (T', B, m, 128).
+        tgt_full = fft4.extend_hermitian_mag(
+            target_pad.astype(jnp.float32), n_fft
+        )
+        tgt_fm = jnp.swapaxes(fft4.to_permuted(tgt_full, n_fft), 0, 1)
+        update0_fm = jnp.concatenate(
+            [jnp.zeros((la * B, n_fft), jnp.float32),
+             first[:, 0].astype(jnp.float32)], axis=0
+        )
+        state0k = (
+            jnp.zeros((B, num_keep, n_fft), jnp.float32),
+            update0_fm,
+            jnp.zeros((R, m, 128), jnp.float32),
+            jnp.zeros((R, m, 128), jnp.float32),
+        )
 
-            jax.lax.cond(
-                jnp.logical_or((i + 1) % every == 0, i + 1 == total),
-                lambda: jax.debug.callback(_cb, i, ordered=False),
-                lambda: None,
+        def outer_k(state, i):
+            sl = jax.lax.dynamic_slice_in_dim(tgt_fm, i, la + 1, axis=0)
+            new_state, committed = _kernel_frame_step(
+                *state, sl.reshape(R, m, 128), window, lr, cfg,
+                look_ahead=la, asymmetric_window=asymmetric_window,
+                max_iter=max_iter, interpret=interpret, precision=precision,
             )
-        return new_state, committed
+            if verbose:
+                report(i)
+            return new_state, committed
 
-    _, frames_out = jax.lax.scan(
-        outer, state0, jnp.arange(steps + la)
-    )  # frames_out: (steps+la, B, n_fft)
+        _, frames_out = jax.lax.scan(outer_k, state0k, jnp.arange(steps + la))
+        frames_out = frames_out.astype(target_tm.dtype)
+    else:
+        update0 = jnp.concatenate(
+            [jnp.zeros((B, la, n_fft), first.dtype), first], axis=1
+        )
+        state0 = RTISIState(
+            keeped=jnp.zeros((B, num_keep, n_fft), first.dtype),
+            update=update0,
+            pre_spec=jnp.zeros(
+                (B, la + 1, F),
+                dtype=jnp.result_type(first.dtype, jnp.complex64),
+            ),
+        )
+
+        def outer(state: RTISIState, i):
+            target_slice = jax.lax.dynamic_slice_in_dim(
+                target_pad, i, la + 1, axis=1
+            )
+            new_state, committed = _frame_step(
+                state, target_slice, window, lr, cfg,
+                look_ahead=la, asymmetric_window=asymmetric_window,
+                max_iter=max_iter, backend=backend,
+            )
+            if verbose:
+                report(i)
+            return new_state, committed
+
+        _, frames_out = jax.lax.scan(
+            outer, state0, jnp.arange(steps + la)
+        )  # frames_out: (steps+la, B, n_fft)
 
     all_xt = jnp.moveaxis(frames_out[la:], 0, 1)  # (B, steps, n_fft)
 
@@ -240,6 +377,7 @@ def RTISI_LA(
     alpha: float = 0.99,
     verbose=1,
     backend: str = "auto",
+    precision=None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:273-412).
@@ -247,6 +385,13 @@ def RTISI_LA(
     ``look_ahead=-1`` uses ``(win_length - 1) // hop`` future frames; ``0``
     disables look-ahead (original RTISI).  Input must be a magnitude
     spectrogram ``(F, T)`` / ``(B, F, T)``.
+
+    ``backend='pallas4'`` runs each frame step's ``max_iter`` refinements in
+    one fused kernel launch with the four-step DFT tables VMEM-resident
+    (``ops/pallas/rtisi_fused4.py``); requires n_fft % 128 == 0,
+    hop % 128 == 0, a real window and float32 input.  ``precision`` applies
+    to that kernel (``jax.lax.Precision`` or a bf16 scheme string; None =
+    library default HIGH).
     """
     assert max_iter > 0 and alpha >= 0
     spec = common_as_array(spec)
@@ -255,17 +400,46 @@ def RTISI_LA(
     spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
     num_keep = (cfg.n_fft - 1) // cfg.hop_length
     la = num_keep if look_ahead < 0 else look_ahead
-    if backend in ("pallas", "pallas4"):
-        # A whole-stream fused kernel existed in round 1 and was REMOVED:
-        # interleaved A/B rounds measured it consistently 5-15% slower than
-        # the rows-aware FFT scan (e.g. 1893/2003/1585 vs 2002/2139/1844
-        # frames/s on the flagship config) — at (look_ahead+1)-row DFT
-        # granularity the chip is latency-bound and the kernel has no niche
-        # (both paths are a single launch).  See benchmarks.md.
+    if backend == "pallas":
+        # A whole-stream direct-DFT fused kernel existed in round 1 and was
+        # REMOVED: interleaved A/B rounds measured it consistently 5-15%
+        # slower than the rows-aware FFT scan (e.g. 1893/2003/1585 vs
+        # 2002/2139/1844 frames/s on the flagship config) — at
+        # (look_ahead+1)-row DFT granularity the chip is latency-bound and
+        # the kernel had no dispatch-overhead niche either.  The four-step
+        # refine kernel (backend='pallas4') is its successor: its win is
+        # VMEM-resident tables across the max_iter refinements, not launch
+        # count.  See benchmarks.md.
         raise ValueError(
-            "RTISI_LA has no Pallas backend (the fused stream kernel was "
-            "removed after measuring slower than the scan path); use "
-            "backend='auto'"
+            "RTISI_LA has no 'pallas' backend (the direct-DFT stream kernel "
+            "was removed after measuring slower than the scan path); use "
+            "backend='pallas4' or 'auto'"
+        )
+    if (
+        backend == "auto"
+        and jax.default_backend() not in ("cpu",)
+        and rtisi_fused4.supports(cfg, window)
+        and spec_tm.dtype == jnp.float32
+    ):
+        # The fused refine kernel is faster at every measured stream count
+        # (2.1x single-stream, +26% at 16 streams — benchmarks.md); make it
+        # the TPU default where the config allows, like griffin_lim/ADMM.
+        backend = "pallas4"
+    if backend == "pallas4":
+        if not rtisi_fused4.supports(cfg, window):
+            raise ValueError(
+                "pallas4 RTISI requires n_fft % 128 == 0, hop % 128 == 0 "
+                "and a real window; use backend='auto' instead"
+            )
+        if spec_tm.dtype != jnp.float32:
+            raise ValueError(
+                "pallas4 RTISI runs in float32; cast the spectrogram or use "
+                "backend='auto'"
+            )
+    elif precision is not None:
+        raise ValueError(
+            "precision applies to backend='pallas4' only; XLA backends "
+            "follow ops.fourier.set_default_precision"
         )
     lr = jnp.asarray(alpha / (1 + alpha), dtype=spec_tm.dtype)
     x = run_tm(
@@ -278,6 +452,8 @@ def RTISI_LA(
         max_iter=max_iter,
         verbose=gate_verbose(verbose),
         backend=backend,
+        interpret=jax.default_backend() == "cpu",
+        precision=precision,
     )
     return restore_output(x, was_2d)
 
@@ -289,6 +465,58 @@ _frame_step_jit = partial(
     jax.jit,
     static_argnames=("cfg", "look_ahead", "asymmetric_window", "max_iter", "backend"),
 )(_frame_step)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "look_ahead", "asymmetric_window", "max_iter",
+        "interpret", "precision",
+    ),
+)
+def _kernel_streamer_step(
+    state: RTISIState,
+    target_slice: jnp.ndarray,  # (B, la+1, F) magnitude frames
+    window: jnp.ndarray,
+    lr,
+    cfg: STFTConfig,
+    look_ahead: int,
+    asymmetric_window: bool,
+    max_iter: int,
+    interpret: bool = False,
+    precision=None,
+):
+    """Streamer-facing wrapper of :func:`_kernel_frame_step`.  In kernel
+    mode the streamer's ``pre_spec`` field holds the kernel's native
+    ``(pre_re, pre_im)`` permuted frame-major planes — converting through
+    the onesided complex layout would regenerate the mirror bins by
+    conjugation, a 1-ulp perturbation that RTISI's causal recursion
+    amplifies ~2x per committed frame; carrying the planes natively keeps
+    the streamer bit-identical to the offline ``backend='pallas4'`` path.
+    The remaining per-step layout work (frame transposes, target
+    extend+permute) is value-exact."""
+    la = look_ahead
+    n_fft = cfg.n_fft
+    m = n_fft // 128
+    B = state.keeped.shape[0]
+    R = (la + 1) * B
+    update_fm = jnp.swapaxes(state.update, 0, 1).reshape(R, n_fft)
+    pre_re, pre_im = state.pre_spec
+    tgt_full = fft4.extend_hermitian_mag(
+        jnp.swapaxes(target_slice, 0, 1).astype(jnp.float32), n_fft
+    )
+    tgt_fm = fft4.to_permuted(tgt_full, n_fft).reshape(R, m, 128)
+    (keeped, update_fm, new_re, new_im), committed = _kernel_frame_step(
+        state.keeped, update_fm, pre_re, pre_im, tgt_fm, window, lr, cfg,
+        look_ahead=la, asymmetric_window=asymmetric_window,
+        max_iter=max_iter, interpret=interpret, precision=precision,
+    )
+    update = jnp.swapaxes(update_fm.reshape(la + 1, B, n_fft), 0, 1)
+    return RTISIState(
+        keeped=keeped.astype(state.keeped.dtype),
+        update=update.astype(state.update.dtype),
+        pre_spec=(new_re, new_im),
+    ), committed
 
 
 class RTISIStreamer:
@@ -336,14 +564,49 @@ class RTISIStreamer:
         self.max_iter = max_iter
         self.lr = jnp.asarray(alpha / (1 + alpha), dtype=dtype)
         self.batch = batch
+        if backend == "pallas":
+            raise ValueError(
+                "RTISIStreamer has no 'pallas' backend; use 'pallas4' "
+                "(fused refine kernel) or 'auto'"
+            )
+        if (
+            backend == "auto"
+            and jax.default_backend() not in ("cpu",)
+            and rtisi_fused4.supports(self.cfg, self.window)
+            and jnp.dtype(dtype) == jnp.float32
+        ):
+            # The fused refine kernel is faster at every measured stream
+            # count (2.1x single-stream — benchmarks.md); make it the TPU
+            # default where the config allows.
+            backend = "pallas4"
+        if backend == "pallas4":
+            if not rtisi_fused4.supports(self.cfg, self.window):
+                raise ValueError(
+                    "pallas4 RTISI requires n_fft % 128 == 0, "
+                    "hop % 128 == 0 and a real window"
+                )
+            if jnp.dtype(dtype) != jnp.float32:
+                raise ValueError("pallas4 RTISI runs in float32")
         self.backend = backend
         self.F = num_freqs
 
         cdtype = jnp.result_type(dtype, jnp.complex64)
+        self._cdtype = cdtype
+        if backend == "pallas4":
+            # Kernel mode carries the momentum in the kernel's native
+            # permuted frame-major planes (see _kernel_streamer_step).
+            m = n_fft // 128
+            r = (self.la + 1) * batch
+            pre0 = (
+                jnp.zeros((r, m, 128), jnp.float32),
+                jnp.zeros((r, m, 128), jnp.float32),
+            )
+        else:
+            pre0 = jnp.zeros((batch, self.la + 1, self.F), cdtype)
         self.state = RTISIState(
             keeped=jnp.zeros((batch, self.num_keep, n_fft), dtype),
             update=jnp.zeros((batch, self.la + 1, n_fft), dtype),
-            pre_spec=jnp.zeros((batch, self.la + 1, self.F), cdtype),
+            pre_spec=pre0,
         )
         # Left look-ahead zero-padding, mirroring the offline target pad
         # (methods.py:339) so the streamed state trajectory matches offline.
@@ -373,8 +636,9 @@ class RTISIStreamer:
         if not self._started:
             # Seed the newest in-flight frame with zero phase (ref 352-358).
             first = fourier.inverse(
-                frame_mag[:, None, :].astype(self.state.pre_spec.dtype),
-                self.cfg, backend=self.backend,
+                frame_mag[:, None, :].astype(self._cdtype),
+                self.cfg,
+                backend="auto" if self.backend == "pallas4" else self.backend,
             ).astype(self.state.update.dtype)
             self.state = self.state._replace(
                 update=jnp.concatenate(
@@ -388,11 +652,20 @@ class RTISIStreamer:
         return self._step(jnp.stack(self._pending, axis=1))
 
     def _step(self, target_slice):
-        self.state, committed = _frame_step_jit(
-            self.state, target_slice, self.window, self.lr, self.cfg,
-            look_ahead=self.la, asymmetric_window=self.asymmetric_window,
-            max_iter=self.max_iter, backend=self.backend,
-        )
+        if self.backend == "pallas4":
+            self.state, committed = _kernel_streamer_step(
+                self.state, target_slice, self.window, self.lr, self.cfg,
+                look_ahead=self.la,
+                asymmetric_window=self.asymmetric_window,
+                max_iter=self.max_iter,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            self.state, committed = _frame_step_jit(
+                self.state, target_slice, self.window, self.lr, self.cfg,
+                look_ahead=self.la, asymmetric_window=self.asymmetric_window,
+                max_iter=self.max_iter, backend=self.backend,
+            )
         self._pending.pop(0)
         if self._warmup:
             self._warmup -= 1

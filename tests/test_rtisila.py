@@ -211,3 +211,135 @@ def test_verbose_reports_progress(monkeypatch):
     assert all("rtisi-la frame" in m for m in msgs)
     # last report covers the final frame
     assert msgs[-1].endswith(f"/{12 + 1}")
+
+
+# ---------------------------------------------------------------------------
+# Fused refine kernel (backend='pallas4', ops/pallas/rtisi_fused4.py)
+
+
+@pytest.mark.parametrize("look_ahead", [3, 0])
+@pytest.mark.parametrize("asymmetric_window", [False, True])
+def test_pallas4_matches_xla_short(look_ahead, asymmetric_window):
+    """Fused refine kernel (interpret mode on CPU) vs the XLA scan over a
+    short horizon at HIGHEST precision.  RTISI's causal recursion amplifies
+    backend last-bit differences ~2x per committed frame, so — like
+    test_waveform_parity_exact — only a short horizon is compared directly;
+    long-horizon parity is asserted as quality below."""
+    n_fft = 512  # default hop 128: lane-aligned for the kernel
+    x = make_signal((4410,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[:, :8]
+    kw = dict(look_ahead=look_ahead, asymmetric_window=asymmetric_window,
+              max_iter=3, verbose=False)
+    a = np.asarray(RTISI_LA(mag, backend="fft", **kw))
+    b = np.asarray(
+        RTISI_LA(mag, backend="pallas4",
+                 precision=jax.lax.Precision.HIGHEST, **kw)
+    )
+    assert b.shape == a.shape
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+def test_pallas4_matches_xla_batched():
+    n_fft = 512
+    x = make_signal((2, 4410), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[..., :8]
+    kw = dict(look_ahead=2, max_iter=3, verbose=False)
+    a = np.asarray(RTISI_LA(mag, backend="fft", **kw))
+    b = np.asarray(
+        RTISI_LA(mag, backend="pallas4",
+                 precision=jax.lax.Precision.HIGHEST, **kw)
+    )
+    np.testing.assert_allclose(b, a, atol=2e-4 * np.abs(a).max())
+
+
+def test_pallas4_quality_long():
+    """Default (HIGH/bf16x3) kernel precision: same reconstruction quality
+    as the XLA path on a full-length clip (trajectories diverge chaotically;
+    quality must not)."""
+    from specinv_tpu import sc
+
+    n_fft = 512
+    x = make_signal((8192,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)
+    scores = {}
+    for backend in ("fft", "pallas4"):
+        y = np.asarray(
+            RTISI_LA(mag, look_ahead=3, max_iter=10, verbose=False,
+                     backend=backend)
+        )
+        recon = np.abs(torch_stft(y, n_fft))
+        scores[backend] = float(sc(jnp.asarray(recon), jnp.asarray(mag)))
+    assert scores["pallas4"] < -9, scores
+    assert abs(scores["pallas4"] - scores["fft"]) < 1.5, scores
+
+
+def test_pallas4_streamer_matches_offline_interior():
+    """Kernel-mode streamer vs offline kernel path: identical per-step
+    computation (the momentum planes carry natively), so interior samples
+    match to float noise."""
+    from specinv_tpu.models.rtisi_la import RTISIStreamer
+
+    n_fft, hop, la = 512, 128, 3
+    x = make_signal((4410,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)
+    offline = np.asarray(
+        RTISI_LA(mag, look_ahead=la, max_iter=4, verbose=False,
+                 backend="pallas4")
+    )
+    st = RTISIStreamer(
+        num_freqs=mag.shape[0], look_ahead=la, max_iter=4, backend="pallas4"
+    )
+    chunks = [st.push(mag[:, t]) for t in range(mag.shape[1])]
+    chunks = [c for c in chunks if c is not None]
+    tail = st.flush()
+    stream = np.asarray(jnp.concatenate(chunks + [tail], axis=1))[0]
+
+    p = n_fft // 2
+    n = min(len(offline), len(stream) - p)
+    a = offline[n_fft : n - n_fft]
+    b = stream[p + n_fft : p + n - n_fft]
+    np.testing.assert_allclose(a, b, atol=1e-5 * np.abs(a).max())
+
+
+def test_pallas4_rejects_unaligned_and_f64():
+    x = make_signal((4410,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, 256)).astype(np.float32)  # hop 64: unaligned
+    with pytest.raises(ValueError, match="128"):
+        RTISI_LA(mag, backend="pallas4", max_iter=2, verbose=False)
+    mag512 = np.abs(torch_stft(x, 512)).astype(np.float64)
+    with pytest.raises(ValueError, match="float32"):
+        RTISI_LA(mag512, backend="pallas4", max_iter=2, verbose=False)
+
+
+def test_precision_rejected_on_xla_backends():
+    x = make_signal((4410,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, 512)).astype(np.float32)
+    with pytest.raises(ValueError, match="precision"):
+        RTISI_LA(mag, backend="fft", max_iter=2, verbose=False,
+                 precision=jax.lax.Precision.HIGHEST)
+
+
+def test_pallas4_chunked_batches(monkeypatch):
+    """Row-bounded batch chunking (big batches run as sequential kernel
+    chunks) is bitwise-identical per stream: all kernel math is
+    row-independent, and zero-magnitude padding streams are inert."""
+    import importlib
+
+    mod = importlib.import_module("specinv_tpu.models.rtisi_la")
+
+    n_fft = 512
+    x = make_signal((3, 3000), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[..., :6]
+    kw = dict(look_ahead=2, max_iter=2, verbose=False, backend="pallas4")
+    a = np.asarray(RTISI_LA(mag, **kw))
+    try:
+        monkeypatch.setattr(mod, "_KERNEL_CHUNK_ROWS", 3)  # chunk_b=1, 3 chunks
+        mod.run_tm.clear_cache()  # the chunk bound is read at trace time
+        b = np.asarray(RTISI_LA(mag, **kw))
+        np.testing.assert_allclose(b, a, atol=0)
+        monkeypatch.setattr(mod, "_KERNEL_CHUNK_ROWS", 6)  # chunk_b=2, pad B->4
+        mod.run_tm.clear_cache()
+        c = np.asarray(RTISI_LA(mag, **kw))
+        np.testing.assert_allclose(c, a, atol=0)
+    finally:
+        mod.run_tm.clear_cache()
