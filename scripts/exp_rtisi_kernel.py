@@ -1,0 +1,119 @@
+"""Fused-kernel RTISI-LA serving A/B on one chip.
+
+Interleaved A/B (same-session, round-robin, median of marginal deltas) of
+``backend='pallas4'`` (fused refine kernel, row-bounded batch chunking) vs
+the XLA scan backends at B in argv (default 1,16,64) on the flagship config
+(n_fft=2048, hann, look_ahead=3, 25 inner iters).  Marginal rates by
+differencing 10 s vs 2.5 s targets to cancel the tunnel RPC overhead.
+Run alone (never concurrently with the CPU test suite).
+
+Usage: python scripts/exp_rtisi_kernel.py [B ...] [--backends a,b] [--rounds N]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax.numpy as jnp  # noqa: E402
+
+import specinv_tpu as si  # noqa: E402
+from specinv_tpu.config import canonicalize  # noqa: E402
+from specinv_tpu.ops import stft as stft_ops  # noqa: E402
+
+SR = 22050
+N_FFT = 2048
+
+
+def _readback(a, tries=3):
+    for attempt in range(tries):
+        try:
+            return np.asarray(a)
+        except Exception:  # noqa: BLE001
+            if attempt == tries - 1:
+                raise
+            time.sleep(2.0)
+
+
+def main():
+    argv = sys.argv[1:]
+    backends = ["pallas4", "matmul"]
+    rounds = 5
+    bs = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--backends":
+            backends = argv[i + 1].split(",")
+            i += 2
+        elif argv[i] == "--rounds":
+            rounds = int(argv[i + 1])
+            i += 2
+        else:
+            bs.append(int(argv[i]))
+            i += 1
+    if not bs:
+        bs = [1, 16, 64]
+
+    rng = np.random.default_rng(0)
+    win = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
+    cfg, w = canonicalize(N_FFT // 2 + 1, np.float32, window=win)
+    wj = jnp.asarray(w)
+
+    for B in bs:
+        mags = {}
+        for sec in (2.5, 10.0):
+            clips = rng.standard_normal((B, int(SR * sec))).astype(np.float32)
+            m = jnp.abs(stft_ops.stft(jnp.asarray(clips), cfg, wj))
+            mags[sec] = [
+                jnp.swapaxes(m, -1, -2) * (1 + 1e-6 * k) for k in range(4)
+            ]
+            for v in mags[sec]:
+                _readback(v)
+        frames = {sec: int(mags[sec][0].shape[-1]) for sec in mags}
+        vi = [0]
+
+        def run(sec, backend):
+            # Reduce to one scalar before readback: a (64, 220500) waveform
+            # is ~56 MB through the ~14 MB/s tunnel, which would dominate
+            # the marginal delta and measure the link, not the chip.
+            v = mags[sec][vi[0] % 4]
+            vi[0] += 1
+            y = si.RTISI_LA(
+                v, look_ahead=3, max_iter=25,
+                verbose=False, window=win, backend=backend,
+            )
+            return jnp.sum(y)
+
+        # warm every (sec, backend) variant
+        for bk in backends:
+            for sec in (2.5, 10.0):
+                _readback(run(sec, bk))
+        deltas = {bk: [] for bk in backends}
+        for _ in range(rounds):
+            for bk in backends:
+                t0 = time.perf_counter()
+                _readback(run(2.5, bk))
+                ts = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _readback(run(10.0, bk))
+                tl = time.perf_counter() - t0
+                deltas[bk].append(tl - ts)
+        dframes = frames[10.0] - frames[2.5]
+        for bk in backends:
+            d = sorted(deltas[bk])[len(deltas[bk]) // 2]
+            agg = B * dframes / d
+            print(json.dumps({
+                "batch": B,
+                "backend": bk,
+                "marginal_frames_per_s_aggregate": round(agg, 1),
+                "per_stream": round(agg / B, 1),
+                "realtime_x_per_stream": round(
+                    (agg / B) * cfg.hop_length / SR, 1
+                ),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

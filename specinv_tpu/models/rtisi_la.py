@@ -53,8 +53,9 @@ def _report_progress(msg: str) -> None:
 
 
 # Row bound per fused-kernel launch: chunk batches so B*(la+1) stays at the
-# measured sweet spot (benchmarks.md "Batched RTISI-LA": 64 rows -> 11.7k
-# frames/s aggregate; 256 rows -> 3.4k).
+# measured sweet spot (benchmarks.md "Batched RTISI-LA": at B=64, 64-row
+# chunks 43.2k / 128-row 42.4k / unchunked-256-row 35.9k frames/s
+# aggregate — chunking is +20% and 64 vs 128 is noise).
 _KERNEL_CHUNK_ROWS = 64
 
 
@@ -247,8 +248,9 @@ def run_tm(
     num_keep = (n_fft - 1) // hop
     use_kernel = backend == "pallas4"
 
-    # The fused kernel's sweet spot is <= ~64 DFT rows per launch (measured:
-    # 11.7k frames/s aggregate at 64 rows vs 3.4k at 256 — benchmarks.md);
+    # The fused kernel's sweet spot is <= ~64 DFT rows per launch (measured
+    # at B=64: 64-row chunks +20% over one 256-row launch — benchmarks.md
+    # "Batched RTISI-LA");
     # larger batches are independent streams, so run them as sequential
     # row-bounded chunks of one compiled program (zero-magnitude padding is
     # benign: projection gain 0/(|S|+eps) = 0).
@@ -422,8 +424,9 @@ def RTISI_LA(
         and spec_tm.dtype == jnp.float32
     ):
         # The fused refine kernel is faster at every measured stream count
-        # (2.1x single-stream, +26% at 16 streams — benchmarks.md); make it
-        # the TPU default where the config allows, like griffin_lim/ADMM.
+        # (20x single-stream, ~1.9x at 16/64 streams, readback-clean
+        # marginals — benchmarks.md); make it the TPU default where the
+        # config allows, like griffin_lim/ADMM.
         backend = "pallas4"
     if backend == "pallas4":
         if not rtisi_fused4.supports(cfg, window):
@@ -576,8 +579,9 @@ class RTISIStreamer:
             and jnp.dtype(dtype) == jnp.float32
         ):
             # The fused refine kernel is faster at every measured stream
-            # count (2.1x single-stream — benchmarks.md); make it the TPU
-            # default where the config allows.
+            # count (20x single-stream, readback-clean marginals —
+            # benchmarks.md); make it the TPU default where the config
+            # allows.
             backend = "pallas4"
         if backend == "pallas4":
             if not rtisi_fused4.supports(self.cfg, self.window):
