@@ -255,6 +255,68 @@ def admm_xla_twin4(
     return (y, yn_re, yn_im), mag
 
 
+def rtisi_xla_twin4(
+    x_keep, upd0, pre_re, pre_im, target_p, window, aw_first, aw_rest,
+    synth_win, lr, cfg: STFTConfig, max_iter: int, asym: bool,
+    precision=None,
+):
+    """XLA re-statement of the fused RTISI refine kernel
+    (:func:`..ops.pallas.rtisi_fused4.refine_run4`) — the backward rule for
+    its custom_vjp.  Same frame-major/permuted layouts; the kernel's
+    in-place slab OLA and per-segment windowing become a dense
+    ``overlap_add``/``frame`` pair (value-identical: both are plain sums)."""
+    import jax
+
+    from ..ops.framing import frame, overlap_add
+    from ..ops.pallas import fft4
+    from ..ops.pallas.gl_fused import PROJ_EPS
+
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    R = upd0.shape[0]
+    B = x_keep.shape[0]
+    n_frames = R // B
+    m = n_fft // 128
+    hi = precision or jax.lax.Precision.HIGHEST
+    t = fft4.tables_as_jnp(n_fft, cfg.normalized)
+
+    def refine(carry, is_first):
+        upd, p_re, p_im = carry
+        upd_bm = jnp.swapaxes(upd.reshape(n_frames, B, n_fft), 0, 1)
+        xs = x_keep + overlap_add(upd_bm * synth_win, hop)    # (B, L)
+        fr = frame(xs, n_fft, hop)                            # (B, nf, n_fft)
+        if asym:
+            w_last = jnp.where(is_first, aw_first, aw_rest)
+        else:
+            w_last = window
+        wins = jnp.concatenate(
+            [jnp.broadcast_to(window, (n_frames - 1, n_fft)), w_last[None]],
+            axis=0,
+        )
+        fm = jnp.swapaxes(fr * wins, 0, 1).reshape(R, n_fft)  # frame-major
+        s_re, s_im = fft4.fwd4(fm, t, hi)                     # (R, m, 128)
+        # First refinement: rows take the NEXT frame's momentum (B-row block
+        # shift), newest frame un-damped — methods.py:387-392.
+        zeros_b = jnp.zeros((B, m, 128), p_re.dtype)
+        sh_re = jnp.concatenate([p_re[B:], zeros_b], axis=0)
+        sh_im = jnp.concatenate([p_im[B:], zeros_b], axis=0)
+        s_re = s_re - lr * jnp.where(is_first, sh_re, p_re)
+        s_im = s_im - lr * jnp.where(is_first, sh_im, p_im)
+        # +1e-30 inside the sqrt: backward-pass NaN guard only (the forward
+        # comes from the kernel, which matches the scan path's plain sqrt).
+        norm = jnp.sqrt(s_re * s_re + s_im * s_im + 1e-30) + PROJ_EPS
+        gain = target_p / norm
+        new_upd = fft4.inv4_real(s_re * gain, s_im * gain, t, hi)
+        return (new_upd, s_re, s_im), None
+
+    carry, _ = refine((upd0, pre_re, pre_im), jnp.bool_(True))
+    if max_iter > 1:
+        carry, _ = jax.lax.scan(
+            lambda c, _: refine(c, jnp.bool_(False)), carry, None,
+            length=max_iter - 1,
+        )
+    return carry
+
+
 def admm_xla_twin(
     state, target_pad, window, inv_env, rho, cfg: STFTConfig, geo: PaddedGeometry,
     valid_t: int,

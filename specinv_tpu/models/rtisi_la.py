@@ -34,6 +34,7 @@ from ..ops.framing import frame, overlap_add
 from ..ops.pallas import fft4, rtisi_fused4
 from ..ops.stft import make_envelope
 from ..utils.runner import gate_verbose
+from . import _pallas_driver as _driver
 from .common import as_array as common_as_array
 from .common import prepare_spec, restore_output
 from .griffin_lim import PROJ_EPS
@@ -194,11 +195,44 @@ def _kernel_frame_step(
     else:
         x_keep = jnp.zeros((B, L), jnp.float32)
     prec = precision if precision is not None else jax.lax.Precision.HIGH
-    upd, new_pre_re, new_pre_im = rtisi_fused4.refine_run4(
+    twin_precision = (
+        prec if isinstance(prec, jax.lax.Precision)
+        else jax.lax.Precision.HIGHEST
+    )
+
+    # custom_vjp: forward = the fused kernel, backward = reverse-mode
+    # through the XLA twin of the same refine loop (the gl_fullrun4/make_seg
+    # pattern) — keeps the scan differentiable w.r.t. the target magnitude
+    # (the reference's autograd contract, test_rtisila grid) on the kernel
+    # path too.
+    @jax.custom_vjp
+    def refine(xk, upd0, p_re, p_im, tgt, win, awf, awr, sw, lr_):
+        out = rtisi_fused4.refine_run4(
+            xk, upd0, p_re, p_im, tgt, win, awf, awr, sw, lr_, cfg,
+            max_iter=max_iter, asym=asymmetric_window,
+            interpret=interpret, precision=prec,
+        )
+        return tuple(out)
+
+    def refine_fwd(*args):
+        return refine(*args), args
+
+    def refine_bwd(residuals, cotangents):
+        def replay(xk, upd0, p_re, p_im, tgt, win, awf, awr, sw, lr_):
+            return _driver.rtisi_xla_twin4(
+                xk, upd0, p_re, p_im, tgt, win, awf, awr, sw, lr_, cfg,
+                max_iter=max_iter, asym=asymmetric_window,
+                precision=twin_precision,
+            )
+
+        _, vjp = jax.vjp(replay, *residuals)
+        return vjp(tuple(cotangents))
+
+    refine.defvjp(refine_fwd, refine_bwd)
+
+    upd, new_pre_re, new_pre_im = refine(
         x_keep, update_fm, pre_re, pre_im, target_fm_p,
-        window, aw1, aw2, synth_window, lr, cfg,
-        max_iter=max_iter, asym=asymmetric_window,
-        interpret=interpret, precision=prec,
+        window, aw1, aw2, synth_window, lr,
     )
     committed = upd[:B]
     if num_keep:

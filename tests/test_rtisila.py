@@ -343,3 +343,34 @@ def test_pallas4_chunked_batches(monkeypatch):
         np.testing.assert_allclose(c, a, atol=0)
     finally:
         mod.run_tm.clear_cache()
+
+
+@pytest.mark.parametrize("asymmetric_window", [False, True])
+def test_pallas4_grad_matches_xla(asymmetric_window):
+    """Kernel-path reverse mode (custom_vjp through the XLA twin of the
+    refine loop) vs the plain-scan gradient, short horizon at HIGHEST
+    precision.  The reference contract is autograd w.r.t. the input
+    spectrogram (test_stft_args above); the kernel path must keep it."""
+    n_fft = 512
+    x = make_signal((4410,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[:, :6]
+
+    def loss_fn(s, backend, precision=None):
+        kw = dict(look_ahead=2, asymmetric_window=asymmetric_window,
+                  max_iter=3, verbose=False, backend=backend)
+        if precision is not None:
+            kw["precision"] = precision
+        y = RTISI_LA(s, **kw)
+        n = min(y.shape[0], x.shape[0])
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    g_xla = jax.grad(loss_fn)(jnp.asarray(mag), "fft")
+    g_krn = jax.grad(loss_fn)(
+        jnp.asarray(mag), "pallas4", jax.lax.Precision.HIGHEST
+    )
+    assert bool(jnp.all(jnp.isfinite(g_krn)))
+    assert not bool(jnp.all(g_krn == 0))
+    scale = float(jnp.max(jnp.abs(g_xla)))
+    np.testing.assert_allclose(
+        np.asarray(g_krn), np.asarray(g_xla), atol=2e-4 * scale
+    )
