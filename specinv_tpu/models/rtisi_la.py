@@ -405,6 +405,57 @@ def run_tm(
     return x / envelope
 
 
+def _resolve_backend(backend, cfg, window, dtype, precision=None):
+    """Shared RTISI backend dispatch (offline entry point + streamer).
+
+    ``auto`` promotes to the fused refine kernel on accelerator backends
+    whenever the config allows — it measured faster at every stream count
+    (20x single-stream, ~1.9x at 16/64 streams, readback-clean marginals —
+    benchmarks.md "Batched RTISI-LA").  Explicit ``pallas4`` validates the
+    kernel's geometry/dtype constraints loudly; ``precision`` is
+    kernel-only (XLA backends follow ``ops.fourier.set_default_precision``).
+    """
+    if backend == "pallas":
+        # A whole-stream direct-DFT fused kernel existed in round 1 and was
+        # REMOVED: interleaved A/B rounds measured it consistently 5-15%
+        # slower than the rows-aware FFT scan (e.g. 1893/2003/1585 vs
+        # 2002/2139/1844 frames/s on the flagship config) — at
+        # (look_ahead+1)-row DFT granularity the chip is latency-bound and
+        # the kernel had no dispatch-overhead niche either.  The four-step
+        # refine kernel (backend='pallas4') is its successor: its win is
+        # VMEM-resident tables across the max_iter refinements, not launch
+        # count.  See benchmarks.md.
+        raise ValueError(
+            "RTISI-LA has no 'pallas' backend (the direct-DFT stream kernel "
+            "was removed after measuring slower than the scan path); use "
+            "backend='pallas4' or 'auto'"
+        )
+    if (
+        backend == "auto"
+        and jax.default_backend() not in ("cpu",)
+        and rtisi_fused4.supports(cfg, window)
+        and jnp.dtype(dtype) == jnp.float32
+    ):
+        backend = "pallas4"
+    if backend == "pallas4":
+        if not rtisi_fused4.supports(cfg, window):
+            raise ValueError(
+                "pallas4 RTISI requires n_fft % 128 == 0, hop % 128 == 0 "
+                "and a real window; use backend='auto' instead"
+            )
+        if jnp.dtype(dtype) != jnp.float32:
+            raise ValueError(
+                "pallas4 RTISI runs in float32; cast the spectrogram or use "
+                "backend='auto'"
+            )
+    elif precision is not None:
+        raise ValueError(
+            "precision applies to backend='pallas4' only; XLA backends "
+            "follow ops.fourier.set_default_precision"
+        )
+    return backend
+
+
 def RTISI_LA(
     spec,
     look_ahead: int = -1,
@@ -436,48 +487,7 @@ def RTISI_LA(
     spec_tm, was_2d, cfg, window = prepare_spec(spec, **stft_kwargs)
     num_keep = (cfg.n_fft - 1) // cfg.hop_length
     la = num_keep if look_ahead < 0 else look_ahead
-    if backend == "pallas":
-        # A whole-stream direct-DFT fused kernel existed in round 1 and was
-        # REMOVED: interleaved A/B rounds measured it consistently 5-15%
-        # slower than the rows-aware FFT scan (e.g. 1893/2003/1585 vs
-        # 2002/2139/1844 frames/s on the flagship config) — at
-        # (look_ahead+1)-row DFT granularity the chip is latency-bound and
-        # the kernel had no dispatch-overhead niche either.  The four-step
-        # refine kernel (backend='pallas4') is its successor: its win is
-        # VMEM-resident tables across the max_iter refinements, not launch
-        # count.  See benchmarks.md.
-        raise ValueError(
-            "RTISI_LA has no 'pallas' backend (the direct-DFT stream kernel "
-            "was removed after measuring slower than the scan path); use "
-            "backend='pallas4' or 'auto'"
-        )
-    if (
-        backend == "auto"
-        and jax.default_backend() not in ("cpu",)
-        and rtisi_fused4.supports(cfg, window)
-        and spec_tm.dtype == jnp.float32
-    ):
-        # The fused refine kernel is faster at every measured stream count
-        # (20x single-stream, ~1.9x at 16/64 streams, readback-clean
-        # marginals — benchmarks.md); make it the TPU default where the
-        # config allows, like griffin_lim/ADMM.
-        backend = "pallas4"
-    if backend == "pallas4":
-        if not rtisi_fused4.supports(cfg, window):
-            raise ValueError(
-                "pallas4 RTISI requires n_fft % 128 == 0, hop % 128 == 0 "
-                "and a real window; use backend='auto' instead"
-            )
-        if spec_tm.dtype != jnp.float32:
-            raise ValueError(
-                "pallas4 RTISI runs in float32; cast the spectrogram or use "
-                "backend='auto'"
-            )
-    elif precision is not None:
-        raise ValueError(
-            "precision applies to backend='pallas4' only; XLA backends "
-            "follow ops.fourier.set_default_precision"
-        )
+    backend = _resolve_backend(backend, cfg, window, spec_tm.dtype, precision)
     lr = jnp.asarray(alpha / (1 + alpha), dtype=spec_tm.dtype)
     x = run_tm(
         spec_tm,
@@ -601,31 +611,9 @@ class RTISIStreamer:
         self.max_iter = max_iter
         self.lr = jnp.asarray(alpha / (1 + alpha), dtype=dtype)
         self.batch = batch
-        if backend == "pallas":
-            raise ValueError(
-                "RTISIStreamer has no 'pallas' backend; use 'pallas4' "
-                "(fused refine kernel) or 'auto'"
-            )
-        if (
-            backend == "auto"
-            and jax.default_backend() not in ("cpu",)
-            and rtisi_fused4.supports(self.cfg, self.window)
-            and jnp.dtype(dtype) == jnp.float32
-        ):
-            # The fused refine kernel is faster at every measured stream
-            # count (20x single-stream, readback-clean marginals —
-            # benchmarks.md); make it the TPU default where the config
-            # allows.
-            backend = "pallas4"
-        if backend == "pallas4":
-            if not rtisi_fused4.supports(self.cfg, self.window):
-                raise ValueError(
-                    "pallas4 RTISI requires n_fft % 128 == 0, "
-                    "hop % 128 == 0 and a real window"
-                )
-            if jnp.dtype(dtype) != jnp.float32:
-                raise ValueError("pallas4 RTISI runs in float32")
-        self.backend = backend
+        self.backend = backend = _resolve_backend(
+            backend, self.cfg, self.window, dtype
+        )
         self.F = num_freqs
 
         cdtype = jnp.result_type(dtype, jnp.complex64)

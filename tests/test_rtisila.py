@@ -374,3 +374,30 @@ def test_pallas4_grad_matches_xla(asymmetric_window):
     np.testing.assert_allclose(
         np.asarray(g_krn), np.asarray(g_xla), atol=2e-4 * scale
     )
+
+
+def test_backend_dispatch_policy(monkeypatch):
+    """TPU `auto` promotes to the fused kernel exactly when the config
+    allows (n_fft/hop lane-aligned, real window, float32); CPU stays XLA."""
+    import importlib
+
+    mod = importlib.import_module("specinv_tpu.models.rtisi_la")
+    from specinv_tpu.config import canonicalize
+
+    def resolve(n_fft, backend="auto", dtype=np.float32, hop_length=None):
+        cfg, w = canonicalize(
+            n_fft // 2 + 1, np.dtype(dtype), hop_length=hop_length
+        )
+        return mod._resolve_backend(backend, cfg, w, np.dtype(dtype))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve(2048) == "pallas4"           # hop 512: aligned
+    assert resolve(512) == "pallas4"            # hop 128: aligned
+    assert resolve(256) == "auto"               # hop 64: kernel unsupported
+    assert resolve(2048, hop_length=100) == "auto"
+    assert resolve(2048, dtype=np.float64) == "auto"
+    assert resolve(2048, backend="fft") == "fft"
+    with pytest.raises(ValueError, match="pallas4"):
+        resolve(2048, backend="pallas")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve(2048) == "auto"              # CPU: XLA scan path
