@@ -41,6 +41,7 @@ def main():
     argv = sys.argv[1:]
     backends = ["pallas4", "matmul"]
     rounds = 5
+    secs = (2.5, 10.0)
     bs = []
     i = 0
     while i < len(argv):
@@ -49,6 +50,12 @@ def main():
             i += 2
         elif argv[i] == "--rounds":
             rounds = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--secs":
+            # Pick the pair so the marginal delta dwarfs tunnel jitter: at
+            # ~70k frames/s a 10-2.5 s delta is ~4.6 ms against ~65 ms RPC
+            # calls that drift 1.5-2x — use e.g. --secs 10,40 there.
+            secs = tuple(float(s) for s in argv[i + 1].split(","))
             i += 2
         else:
             bs.append(int(argv[i]))
@@ -63,7 +70,7 @@ def main():
 
     for B in bs:
         mags = {}
-        for sec in (2.5, 10.0):
+        for sec in secs:
             clips = rng.standard_normal((B, int(SR * sec))).astype(np.float32)
             m = jnp.abs(stft_ops.stft(jnp.asarray(clips), cfg, wj))
             mags[sec] = [
@@ -88,19 +95,19 @@ def main():
 
         # warm every (sec, backend) variant
         for bk in backends:
-            for sec in (2.5, 10.0):
+            for sec in secs:
                 _readback(run(sec, bk))
         deltas = {bk: [] for bk in backends}
         for _ in range(rounds):
             for bk in backends:
                 t0 = time.perf_counter()
-                _readback(run(2.5, bk))
+                _readback(run(secs[0], bk))
                 ts = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                _readback(run(10.0, bk))
+                _readback(run(secs[1], bk))
                 tl = time.perf_counter() - t0
                 deltas[bk].append(tl - ts)
-        dframes = frames[10.0] - frames[2.5]
+        dframes = frames[secs[1]] - frames[secs[0]]
         for bk in backends:
             d = sorted(deltas[bk])[len(deltas[bk]) // 2]
             agg = B * dframes / d

@@ -293,14 +293,27 @@ def run_tm(
         nb = -(-B // chunk_b)
         pad_b = nb * chunk_b - B
         tgt = jnp.pad(target_tm, ((0, pad_b), (0, 0), (0, 0)))
-        out = jax.lax.map(
-            lambda t: run_tm(
+
+        def chunk_body(k, t):
+            # Per-frame reporting would replay "frame i/total" once per
+            # chunk; report chunk-level progress instead.
+            out = run_tm(
                 t, window, lr, cfg, look_ahead=la,
                 asymmetric_window=asymmetric_window, max_iter=max_iter,
-                verbose=verbose, backend=backend, interpret=interpret,
+                verbose=False, backend=backend, interpret=interpret,
                 precision=precision,
-            ),
-            tgt.reshape(nb, chunk_b, steps, F),
+            )
+            if verbose:
+                jax.debug.callback(
+                    lambda k_: _report_progress(
+                        f"rtisi-la chunk {int(k_) + 1}/{nb}"
+                    ),
+                    k, ordered=False,
+                )
+            return k + 1, out
+
+        _, out = jax.lax.scan(
+            chunk_body, jnp.array(0), tgt.reshape(nb, chunk_b, steps, F)
         )
         return out.reshape(nb * chunk_b, -1)[:B]
 
