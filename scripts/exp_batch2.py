@@ -22,21 +22,11 @@ import jax.numpy as jnp  # noqa: E402
 import specinv_tpu as si  # noqa: E402
 from specinv_tpu.config import canonicalize  # noqa: E402
 from specinv_tpu.ops import stft as stft_ops  # noqa: E402
+from bench_common import readback as _readback  # noqa: E402
 
 SR = 22050
 SECONDS = 2
 BATCHES = (1, 4, 16, 64)
-
-
-def _readback(a, tries=3):
-    for attempt in range(tries):
-        try:
-            return np.asarray(a)
-        except Exception:  # noqa: BLE001
-            if attempt == tries - 1:
-                raise
-            time.sleep(2.0)
-
 
 def main():
     argv = sys.argv[1:]

@@ -453,8 +453,9 @@ def _resolve_backend(backend, cfg, window, dtype, precision=None):
     if backend == "pallas4":
         if not rtisi_fused4.supports(cfg, window):
             raise ValueError(
-                "pallas4 RTISI requires n_fft % 128 == 0, hop % 128 == 0 "
-                "and a real window; use backend='auto' instead"
+                "pallas4 RTISI requires onesided=True, n_fft % 128 == 0, "
+                "hop % 128 == 0 and a real window; use backend='auto' "
+                "instead"
             )
         if jnp.dtype(dtype) != jnp.float32:
             raise ValueError(
@@ -488,7 +489,7 @@ def RTISI_LA(
 
     ``backend='pallas4'`` runs each frame step's ``max_iter`` refinements in
     one fused kernel launch with the four-step DFT tables VMEM-resident
-    (``ops/pallas/rtisi_fused4.py``); requires n_fft % 128 == 0,
+    (``ops/pallas/rtisi_fused4.py``); requires onesided, n_fft % 128 == 0,
     hop % 128 == 0, a real window and float32 input.  ``precision`` applies
     to that kernel (``jax.lax.Precision`` or a bf16 scheme string; None =
     library default HIGH).
@@ -547,35 +548,73 @@ def _kernel_streamer_step(
     precision=None,
 ):
     """Streamer-facing wrapper of :func:`_kernel_frame_step`.  In kernel
-    mode the streamer's ``pre_spec`` field holds the kernel's native
-    ``(pre_re, pre_im)`` permuted frame-major planes — converting through
-    the onesided complex layout would regenerate the mirror bins by
+    mode the streamer's ``pre_spec`` field holds the kernel's permuted
+    momentum as BATCH-MAJOR ``(B, la+1, m, 128)`` planes — converting
+    through the onesided complex layout would regenerate the mirror bins by
     conjugation, a 1-ulp perturbation that RTISI's causal recursion
     amplifies ~2x per committed frame; carrying the planes natively keeps
-    the streamer bit-identical to the offline ``backend='pallas4'`` path.
-    The remaining per-step layout work (frame transposes, target
-    extend+permute) is value-exact."""
+    the streamer bit-identical to the offline ``backend='pallas4'`` path
+    (the per-step batch<->frame-major transposes and target extend+permute
+    are value-exact layout ops).  Batches beyond the kernel's measured
+    ~``_KERNEL_CHUNK_ROWS``-row launch sweet spot run as row-bounded
+    sequential chunks, like the offline path (zero-magnitude padding
+    streams are inert)."""
     la = look_ahead
     n_fft = cfg.n_fft
     m = n_fft // 128
     B = state.keeped.shape[0]
-    R = (la + 1) * B
-    update_fm = jnp.swapaxes(state.update, 0, 1).reshape(R, n_fft)
-    pre_re, pre_im = state.pre_spec
-    tgt_full = fft4.extend_hermitian_mag(
-        jnp.swapaxes(target_slice, 0, 1).astype(jnp.float32), n_fft
-    )
-    tgt_fm = fft4.to_permuted(tgt_full, n_fft).reshape(R, m, 128)
-    (keeped, update_fm, new_re, new_im), committed = _kernel_frame_step(
-        state.keeped, update_fm, pre_re, pre_im, tgt_fm, window, lr, cfg,
-        look_ahead=la, asymmetric_window=asymmetric_window,
-        max_iter=max_iter, interpret=interpret, precision=precision,
-    )
-    update = jnp.swapaxes(update_fm.reshape(la + 1, B, n_fft), 0, 1)
+    pre_re_bm, pre_im_bm = state.pre_spec
+
+    def one(keeped, update, p_re, p_im, tgt):
+        b = keeped.shape[0]
+        r = (la + 1) * b
+        update_fm = jnp.swapaxes(update, 0, 1).reshape(r, n_fft)
+        tgt_full = fft4.extend_hermitian_mag(
+            jnp.swapaxes(tgt, 0, 1).astype(jnp.float32), n_fft
+        )
+        tgt_fm = fft4.to_permuted(tgt_full, n_fft).reshape(r, m, 128)
+        pre_re = jnp.swapaxes(p_re, 0, 1).reshape(r, m, 128)
+        pre_im = jnp.swapaxes(p_im, 0, 1).reshape(r, m, 128)
+        (keeped2, update_fm2, new_re, new_im), committed = _kernel_frame_step(
+            keeped, update_fm, pre_re, pre_im, tgt_fm, window, lr, cfg,
+            look_ahead=la, asymmetric_window=asymmetric_window,
+            max_iter=max_iter, interpret=interpret, precision=precision,
+        )
+        update2 = jnp.swapaxes(update_fm2.reshape(la + 1, b, n_fft), 0, 1)
+        nr = jnp.swapaxes(new_re.reshape(la + 1, b, m, 128), 0, 1)
+        ni = jnp.swapaxes(new_im.reshape(la + 1, b, m, 128), 0, 1)
+        return keeped2, update2, nr, ni, committed
+
+    chunk_b = max(1, _KERNEL_CHUNK_ROWS // (la + 1))
+    if B > chunk_b:
+        nb = -(-B // chunk_b)
+        pb = nb * chunk_b - B
+
+        def pad_chunk(a):
+            a = jnp.pad(a, ((0, pb),) + ((0, 0),) * (a.ndim - 1))
+            return a.reshape((nb, chunk_b) + a.shape[1:])
+
+        outs = jax.lax.map(
+            lambda xs: one(*xs),
+            tuple(
+                pad_chunk(a)
+                for a in (
+                    state.keeped, state.update, pre_re_bm, pre_im_bm,
+                    target_slice,
+                )
+            ),
+        )
+        keeped, update, nr, ni, committed = (
+            a.reshape((nb * chunk_b,) + a.shape[2:])[:B] for a in outs
+        )
+    else:
+        keeped, update, nr, ni, committed = one(
+            state.keeped, state.update, pre_re_bm, pre_im_bm, target_slice
+        )
     return RTISIState(
         keeped=keeped.astype(state.keeped.dtype),
         update=update.astype(state.update.dtype),
-        pre_spec=(new_re, new_im),
+        pre_spec=(nr, ni),
     ), committed
 
 
@@ -632,13 +671,12 @@ class RTISIStreamer:
         cdtype = jnp.result_type(dtype, jnp.complex64)
         self._cdtype = cdtype
         if backend == "pallas4":
-            # Kernel mode carries the momentum in the kernel's native
-            # permuted frame-major planes (see _kernel_streamer_step).
+            # Kernel mode carries the momentum in the kernel's permuted
+            # layout, batch-major (see _kernel_streamer_step).
             m = n_fft // 128
-            r = (self.la + 1) * batch
             pre0 = (
-                jnp.zeros((r, m, 128), jnp.float32),
-                jnp.zeros((r, m, 128), jnp.float32),
+                jnp.zeros((batch, self.la + 1, m, 128), jnp.float32),
+                jnp.zeros((batch, self.la + 1, m, 128), jnp.float32),
             )
         else:
             pre0 = jnp.zeros((batch, self.la + 1, self.F), cdtype)

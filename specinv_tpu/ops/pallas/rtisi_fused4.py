@@ -47,9 +47,12 @@ TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
 
 def supports(cfg: STFTConfig, window) -> bool:
-    """Four-step geometry: lane-aligned transform and hop, real window."""
+    """Four-step geometry: lane-aligned transform and hop, real window,
+    onesided magnitude (the driver Hermitian-extends the (F=n_fft//2+1)-bin
+    target; a full-spectrum input would need a different packing)."""
     return (
-        cfg.n_fft % LANE == 0
+        cfg.onesided
+        and cfg.n_fft % LANE == 0
         and cfg.hop_length % LANE == 0
         and not jnp.iscomplexobj(window)
     )

@@ -384,9 +384,11 @@ def test_backend_dispatch_policy(monkeypatch):
     mod = importlib.import_module("specinv_tpu.models.rtisi_la")
     from specinv_tpu.config import canonicalize
 
-    def resolve(n_fft, backend="auto", dtype=np.float32, hop_length=None):
+    def resolve(n_fft, backend="auto", dtype=np.float32, hop_length=None,
+                **kw):
+        nf = n_fft if kw.get("onesided") is False else n_fft // 2 + 1
         cfg, w = canonicalize(
-            n_fft // 2 + 1, np.dtype(dtype), hop_length=hop_length
+            nf, np.dtype(dtype), hop_length=hop_length, **kw
         )
         return mod._resolve_backend(backend, cfg, w, np.dtype(dtype))
 
@@ -394,6 +396,9 @@ def test_backend_dispatch_policy(monkeypatch):
     assert resolve(2048) == "pallas4"           # hop 512: aligned
     assert resolve(512) == "pallas4"            # hop 128: aligned
     assert resolve(256) == "auto"               # hop 64: kernel unsupported
+    assert resolve(2048, onesided=False) == "auto"   # full-spectrum: no kernel
+    with pytest.raises(ValueError, match="onesided"):
+        resolve(2048, backend="pallas4", onesided=False)
     assert resolve(2048, hop_length=100) == "auto"
     assert resolve(2048, dtype=np.float64) == "auto"
     assert resolve(2048, backend="fft") == "fft"
@@ -401,3 +406,36 @@ def test_backend_dispatch_policy(monkeypatch):
         resolve(2048, backend="pallas")
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert resolve(2048) == "auto"              # CPU: XLA scan path
+
+
+def test_pallas4_streamer_chunked_batch(monkeypatch):
+    """Streamer batches beyond the kernel-row bound run as row-bounded
+    chunks, bitwise-identical per stream to the single-launch streamer."""
+    import importlib
+
+    mod = importlib.import_module("specinv_tpu.models.rtisi_la")
+
+    n_fft, la = 512, 2
+    x = make_signal((3, 3000), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[..., :6]
+
+    def run_stream(chunk_rows):
+        monkeypatch.setattr(mod, "_KERNEL_CHUNK_ROWS", chunk_rows)
+        mod._kernel_streamer_step.clear_cache()
+        st = mod.RTISIStreamer(
+            num_freqs=mag.shape[1], look_ahead=la, max_iter=2,
+            batch=mag.shape[0], backend="pallas4",
+        )
+        chunks = [st.push(mag[:, :, t]) for t in range(mag.shape[-1])]
+        chunks = [c for c in chunks if c is not None]
+        tail = st.flush()
+        return np.asarray(jnp.concatenate(chunks + [tail], axis=1))
+
+    try:
+        ref = run_stream(10**9)          # single launch
+        chunked = run_stream(3)          # chunk_b=1, 3 chunks + padding pad_b=0
+        np.testing.assert_allclose(chunked, ref, atol=0)
+        chunked2 = run_stream(6)         # chunk_b=2, pads B=3 -> 4
+        np.testing.assert_allclose(chunked2, ref, atol=0)
+    finally:
+        mod._kernel_streamer_step.clear_cache()
