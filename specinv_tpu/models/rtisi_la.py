@@ -424,7 +424,10 @@ def _resolve_backend(backend, cfg, window, dtype, precision=None):
     ``auto`` promotes to the fused refine kernel on accelerator backends
     whenever the config allows — it measured faster at every stream count
     (20x single-stream, ~1.9x at 16/64 streams, readback-clean marginals —
-    benchmarks.md "Batched RTISI-LA").  Explicit ``pallas4`` validates the
+    benchmarks.md "Batched RTISI-LA").  Non-CPU platforms are assumed TPU
+    (this library is TPU-native; same convention as griffin_lim/ADMM — the
+    Mosaic kernels would not lower elsewhere, pass an explicit XLA backend
+    there).  Explicit ``pallas4`` validates the
     kernel's geometry/dtype constraints loudly; ``precision`` is
     kernel-only (XLA backends follow ``ops.fourier.set_default_precision``).
     """
