@@ -320,9 +320,15 @@ def main():
         # timeout — probe first so a dead tunnel costs probe-sized retries
         # (with recovery windows) instead of the whole budget.
         tpu_ok = False
-        while time.time() < deadline - 500:
-            if tpu_probe(min(300.0, deadline - 460 - time.time())):
+        first_probe = True
+        while first_probe or time.time() < deadline - 500:
+            # Always probe at least once: a small BENCH_BUDGET_S must not
+            # report "unresponsive to probes" without probing.
+            first_probe = False
+            if tpu_probe(max(60.0, min(300.0, deadline - 460 - time.time()))):
                 tpu_ok = True
+                break
+            if time.time() >= deadline - 500:
                 break
             print("# bench: TPU probe failed; retrying in 90s", file=sys.stderr)
             time.sleep(90)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate, iterate_segmented, psum_mse
+from ..utils.runner import iterate, iterate_segmented, stop_loss_fn
 from .common import prepare_spec_b3, restore_output, run_with_vmem_demotion
 from .griffin_lim import magnitude_project
 from .phase_init import phase_init_tm
@@ -128,7 +128,7 @@ def run_tm(
         verbose=verbose,
         mode=mode,
         early_stop=early_stop,
-        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
+        loss_fn=stop_loss_fn(loss_psum_axes),
     )
     return state.x
 
@@ -225,7 +225,7 @@ def run_tm_pallas(
         verbose=verbose,
         mode="fori",
         early_stop=early_stop,
-        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
+        loss_fn=stop_loss_fn(loss_psum_axes),
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 
@@ -389,7 +389,7 @@ def run_tm_pallas4(
         metric=metric,
         verbose=verbose,
         mode=mode,
-        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
+        loss_fn=stop_loss_fn(loss_psum_axes),
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 
@@ -415,6 +415,13 @@ def _full_run(
     loss_psum_axes=None,
     pack=None,
 ) -> jnp.ndarray:
+    if pack is not None and backend != "pallas4":
+        # Fail-loud (see griffin_lim._full_run): packing is a whole-run-
+        # kernel concept and must not be silently dropped.
+        raise ValueError(
+            f"pack applies to the whole-run pallas4 kernel only (resolved "
+            f"backend here: {backend!r})"
+        )
     spec_tm = jnp.swapaxes(spec_b3, -1, -2)
     if jnp.iscomplexobj(spec_tm):
         cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
@@ -505,13 +512,16 @@ def ADMM(
         from ..ops.pallas import gl_fullrun4
 
         pallas_ok = gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3)
+        # Conservative budget under an enclosing trace: the OOM-demotion
+        # probe only catches eagerly (see griffin_lim / run_with_vmem_demotion).
+        eager = not isinstance(spec_b3, jax.core.Tracer)
         if gl_fused4.supports(cfg, window) and gl_fullrun4.fits(
-            cfg, spec_b3.shape[-1]
+            cfg, spec_b3.shape[-1], optimistic=eager
         ):
             backend = "pallas4"
             # Optimistic VMEM fit: first compile is the probe; a Mosaic OOM
             # demotes to this backend (see common.run_with_vmem_demotion).
-            fallback_backend = "pallas" if pallas_ok else "auto"
+            fallback_backend = ("pallas" if pallas_ok else "auto") if eager else None
         elif pallas_ok:
             backend = "pallas"
     if backend == "pallas4" and not gl_fused4.supports(cfg, window):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate, iterate_segmented, psum_mse
+from ..utils.runner import iterate, iterate_segmented, stop_loss_fn
 from .common import prepare_spec_b3, restore_output, run_with_vmem_demotion
 from .phase_init import phase_init_tm
 
@@ -124,7 +124,7 @@ def run_tm(
         verbose=verbose,
         mode=mode,
         early_stop=early_stop,
-        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
+        loss_fn=stop_loss_fn(loss_psum_axes),
     )
     return state.x
 
@@ -226,7 +226,7 @@ def run_tm_pallas(
         verbose=verbose,
         mode="fori",
         early_stop=early_stop,
-        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
+        loss_fn=stop_loss_fn(loss_psum_axes),
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
@@ -404,7 +404,7 @@ def run_tm_pallas4(
         metric=metric,
         verbose=verbose,
         mode=mode,
-        loss_fn=psum_mse(loss_psum_axes) if loss_psum_axes else None,
+        loss_fn=stop_loss_fn(loss_psum_axes),
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
@@ -437,6 +437,14 @@ def _full_run(
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
+    if pack is not None and backend != "pallas4":
+        # Same fail-loud policy as backend/precision plumbing: packing is a
+        # whole-run-kernel concept; silently dropping it would misreport the
+        # launch shape the user asked to measure.
+        raise ValueError(
+            f"pack applies to the whole-run pallas4 kernel only (resolved "
+            f"backend here: {backend!r})"
+        )
     spec_tm = jnp.swapaxes(spec_b3, -1, -2)
     if jnp.iscomplexobj(spec_tm):
         cmplx_tm, target_tm = spec_tm, jnp.abs(spec_tm)
@@ -537,13 +545,18 @@ def griffin_lim(
         from ..ops.pallas import gl_fullrun4
 
         pallas_ok = gl_fused.supports(cfg, window) and not jnp.iscomplexobj(spec_b3)
+        # The optimistic band (VMEM_BUDGET..VMEM_CEILING) relies on catching
+        # the compile-time OOM eagerly; under an enclosing trace (jit/grad/
+        # shard_map) the error would surface at the outer compile, past the
+        # demotion handler — stay on the conservative budget there.
+        eager = not isinstance(spec_b3, jax.core.Tracer)
         if gl_fused4.supports(cfg, window) and gl_fullrun4.fits(
-            cfg, spec_b3.shape[-1]
+            cfg, spec_b3.shape[-1], optimistic=eager
         ):
             backend = "pallas4"
             # The VMEM fit model is optimistic past VMEM_BUDGET: the first
             # compile is the probe, and a Mosaic OOM demotes to this backend.
-            fallback_backend = "pallas" if pallas_ok else "auto"
+            fallback_backend = ("pallas" if pallas_ok else "auto") if eager else None
         elif pallas_ok:
             backend = "pallas"
     if backend == "pallas4" and not gl_fused4.supports(cfg, window):

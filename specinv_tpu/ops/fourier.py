@@ -140,8 +140,6 @@ def resolve_backend(backend: str, cfg: STFTConfig, dtype, rows: int = None) -> s
         return "fft"
     if jnp.dtype(dtype) in (jnp.float64, jnp.complex128):
         return "fft"
-    if cfg.n_fft > 8192:
-        return "fft"
     # Policy from the round-3 IN-PIPELINE interleaved A/Bs (GL marginal
     # 400-100 differencing and whole-call RTISI-LA serving; see
     # benchmarks.md "DFT backend crossover").  The xover roundtrip-chain

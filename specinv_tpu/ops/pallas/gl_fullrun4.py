@@ -64,12 +64,18 @@ def deny(cfg: STFTConfig, T: int, block_t=None) -> None:
 
 
 def is_vmem_oom(e: Exception) -> bool:
-    """Does this exception look like a Mosaic/XLA VMEM exhaustion?"""
+    """Does this exception look like a Mosaic/XLA VMEM exhaustion?
+
+    Deliberately requires a VMEM/scoped-memory signal: a bare
+    RESOURCE_EXHAUSTED also covers runtime HBM OOMs and transient tunnel
+    errors, and matching those would permanently deny-cache a launch shape
+    that compiles fine (an unrecognized genuine VMEM OOM merely re-raises,
+    which is the safer failure)."""
     import re
 
     msg = str(e)
     return bool(
-        re.search(r"vmem|scoped\s+memory|RESOURCE_EXHAUSTED", msg, re.IGNORECASE)
+        re.search(r"vmem|scoped\s+(memory|vmem)", msg, re.IGNORECASE)
     )
 
 

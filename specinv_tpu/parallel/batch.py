@@ -52,6 +52,20 @@ def batched(
        ``griffin_lim``/``ADMM``; ``gspmd=True`` mode is always global).
     """
 
+    if global_stop and not gspmd:
+        import inspect
+
+        try:
+            sig_params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):  # builtins/partials without sigs
+            sig_params = None
+        if sig_params is not None and "loss_psum_axes" not in sig_params:
+            raise ValueError(
+                f"global_stop=True needs an entry point that accepts "
+                f"loss_psum_axes (griffin_lim/ADMM); {getattr(fn, '__name__', fn)!r} "
+                f"does not — its stop rule (if any) is per-shard"
+            )
+
     def wrapper(spec, *args, **kwargs):
         if global_stop and not gspmd:
             kwargs.setdefault("loss_psum_axes", (axis_name,))

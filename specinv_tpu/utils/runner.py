@@ -57,6 +57,12 @@ def psum_mse(axes):
     return loss
 
 
+
+def stop_loss_fn(axes):
+    """``loss_fn`` for the iteration drivers: the psum'd global stop loss
+    when mesh ``axes`` are given, else the default local MSE (None)."""
+    return psum_mse(axes) if axes else None
+
 def _progress_print(i, metric_name, metric_val, loss):
     print(f"iter {int(i) + 1}: {metric_name}={float(metric_val):.4f} loss={float(loss):.3e}")
 

@@ -495,3 +495,88 @@ def test_pack_must_divide_batch():
     with pytest.raises(ValueError, match="divide the batch"):
         griffin_lim(spec, hop_length=128, max_iter=2, tol=0.0, verbose=False,
                     backend="pallas4", pack=2)
+
+
+def test_pack_rejected_off_pallas4():
+    """pack is a whole-run-kernel launch knob; resolving to any other
+    backend must raise instead of silently dropping it."""
+    spec = np.abs(np.random.default_rng(0).normal(size=(4, 257, 40))).astype(
+        np.float32
+    )
+    for entry in (griffin_lim, ADMM):
+        with pytest.raises(ValueError, match="pack applies"):
+            entry(spec, max_iter=2, verbose=False, backend="fft", pack=2)
+
+
+def test_is_vmem_oom_requires_vmem_signal():
+    """Bare RESOURCE_EXHAUSTED (runtime HBM OOM / transient tunnel error)
+    must NOT be classified as a kernel VMEM OOM — matching it would
+    permanently deny-cache a launch shape that compiles fine."""
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    assert gl_fullrun4.is_vmem_oom(
+        RuntimeError("Mosaic: scoped vmem limit exceeded (130MiB)")
+    )
+    assert gl_fullrun4.is_vmem_oom(
+        RuntimeError("RESOURCE_EXHAUSTED: exceeds available VMEM")
+    )
+    assert not gl_fullrun4.is_vmem_oom(
+        RuntimeError("RESOURCE_EXHAUSTED: out of memory allocating 2.1GiB in HBM")
+    )
+    assert not gl_fullrun4.is_vmem_oom(
+        RuntimeError("UNIMPLEMENTED: TPU backend error")
+    )
+
+
+def test_trace_context_disables_optimistic_band(monkeypatch):
+    """Under an enclosing trace the OOM-demotion probe can't catch the
+    compile error, so auto dispatch must stay on the conservative VMEM
+    budget there (eager calls keep the optimistic band)."""
+    import importlib
+
+    import jax
+
+    from specinv_tpu.config import canonicalize
+    from specinv_tpu.ops.pallas import gl_fullrun4
+
+    gl_mod = importlib.import_module("specinv_tpu.models.griffin_lim")
+
+    cfg, w = canonicalize(1025, np.float32)  # n_fft=2048
+
+    # find a T in the optimistic band (fits optimistically, not conservatively)
+    T = next(
+        t for t in range(200, 20000, 50)
+        if gl_fullrun4.fits(cfg, t, optimistic=True)
+        and not gl_fullrun4.fits(cfg, t, optimistic=False)
+    )
+
+    seen = {}
+    real_fits = gl_fullrun4.fits
+
+    def fake_fits(cfg_, T_, block_t=None, optimistic=True):
+        seen["optimistic"] = optimistic
+        return real_fits(cfg_, T_, block_t, optimistic=optimistic)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(gl_fullrun4, "fits", fake_fits)
+    # don't actually launch anything: intercept at run_with_vmem_demotion
+    picked = {}
+
+    def fake_demotion(launch, bk, fb, cfg_, T_):
+        picked["backend"], picked["fallback"] = bk, fb
+        return jnp.zeros((1, 8), jnp.float32)
+
+    monkeypatch.setattr(gl_mod, "run_with_vmem_demotion", fake_demotion)
+    spec = np.ones((1025, T), np.float32)
+    griffin_lim(spec, max_iter=2, verbose=False)
+    assert seen["optimistic"] is True     # eager call: optimistic band probed
+    assert picked["backend"] == "pallas4" and picked["fallback"] is not None
+
+    def traced():
+        griffin_lim(jnp.ones((1025, T), jnp.float32), max_iter=2,
+                    verbose=False)
+        return jnp.zeros(())
+
+    jax.make_jaxpr(lambda: traced())()
+    assert seen["optimistic"] is False    # traced call: conservative budget
+    assert picked["fallback"] is None

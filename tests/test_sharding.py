@@ -274,6 +274,18 @@ def test_batched_global_stop_matches_unsharded():
     np.testing.assert_allclose(out_a, ref_a, atol=1e-10)
 
 
+def test_batched_global_stop_rejects_unsupported_fn():
+    """global_stop=True needs an entry point that accepts loss_psum_axes;
+    anything else would silently keep the per-shard stop rule."""
+    mesh = make_mesh(data=4, seq=1)
+
+    def no_psum_entry(spec, **kwargs):  # pragma: no cover - never called
+        return spec
+
+    with pytest.raises(ValueError, match="loss_psum_axes"):
+        batched(no_psum_entry, mesh, global_stop=True)
+
+
 def test_batched_global_stop_uneven_batch():
     """Zero-pad clips are inert under the psum'd stop loss too (they add
     zero to the numerator and only rescale the ratio)."""
