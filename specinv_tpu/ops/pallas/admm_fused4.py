@@ -80,6 +80,212 @@ def _admm_middle(
     return jnp.where(valid, yn_re, z), jnp.where(valid, yn_im, z)
 
 
+def _kernel_iter(
+    rho_ref,       # SMEM (1, 1) f32
+    valid_ref,     # SMEM (1, 1) i32 — dynamic true-frame count (per shard)
+    x_ref,         # (1, 1, Lx)
+    tgt_ref,       # (1, block_t, m, 128) permuted full-spectrum magnitude
+    y_re_ref,      # (1, block_t, m, 128) DR state
+    y_im_ref,
+    *rest,
+    block_t: int,
+    n_fft: int,
+    hop: int,
+    pad_mode: str,
+    p_amt: int,
+    e: int,
+    fwd_p,
+    inv_p,
+    np_tables,
+    normalize: bool,
+):
+    """One fused four-step ADMM iteration (per-iteration launch).
+
+    Mirror of :func:`..gl_fused4._kernel` with the GL momentum/projection
+    middle replaced by :func:`_admm_middle`; the row-validity threshold is
+    DYNAMIC (SMEM scalar) because the sequence-parallel caller's per-shard
+    frame count is a traced ``axis_index`` expression.
+    """
+    ntab = len(TABLE_KEYS)
+    tab_refs = rest[:ntab]
+    win_ref, inv_env_ref, jrev_ref = rest[ntab : ntab + 3]
+    x_out_ref, ny_re_ref, ny_im_ref, mag_ref, frames_s = rest[ntab + 3 :]
+
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    m = n_fft // LANE
+    window = win_ref[0, :]
+    tables = dict(np_tables)
+    tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
+
+    @pl.when(t == 0)
+    def _zero_out():
+        x_out_ref[...] = jnp.zeros_like(x_out_ref)
+
+    if n_fft % hop == 0:
+        # Strided-reshape framing (see gl_fused._build_frames).
+        for j in range(n_fft // hop):
+            seg = x_ref[
+                0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
+            ].reshape(block_t, hop)
+            frames_s[:, j * hop : (j + 1) * hop] = (
+                seg * window[j * hop : (j + 1) * hop]
+            )
+    else:
+        def body(tl, _):
+            start = (t * block_t + tl) * hop
+            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body, 0)
+
+    r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
+
+    # Metric output = pre-update |R| (methods.py:464-465).
+    mag_ref[0] = jnp.sqrt(r_re * r_re + r_im * r_im)
+
+    yn_re, yn_im = _admm_middle(
+        r_re, r_im, y_re_ref[0], y_im_ref[0], tgt_ref[0], rho_ref[0, 0],
+        t * block_t, valid_ref[0, 0], block_t, m,
+    )
+    ny_re_ref[0] = yn_re
+    ny_im_ref[0] = yn_im
+
+    fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
+
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            start = (t * block_t + j) * hop
+            cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
+                block_t, hop
+            )
+            add = fr[:, j * hop : (j + 1) * hop] * window[
+                j * hop : (j + 1) * hop
+            ]
+            x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
+                cur + add
+            ).reshape(block_t * hop)
+    else:
+        def body_o(tl, _):
+            start = (t * block_t + tl) * hop
+            x_out_ref[0, 0, pl.ds(start, n_fft)] += fr[tl, :] * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body_o, 0)
+
+    if normalize:
+        @pl.when(t == n_t - 1)
+        def _normalize():
+            x_out_ref[...] = x_out_ref[...] * inv_env_ref[...]
+            _repad_in_kernel(x_out_ref, jrev_ref, pad_mode, p_amt, e)
+
+
+def fused_admm_iteration4(
+    x_pad: jnp.ndarray,      # (B, Lx) float32, padded coords
+    Y_re: jnp.ndarray,       # (B, T_pad, m, 128) permuted DR state
+    Y_im: jnp.ndarray,
+    target: jnp.ndarray,     # (B, T_pad, m, 128) permuted full magnitude
+    window: jnp.ndarray,     # (n_fft,)
+    inv_env: jnp.ndarray,    # (Lx,)
+    rho: jnp.ndarray,
+    cfg: STFTConfig,
+    valid_t,                 # true frame count — may be traced (per shard)
+    e: int,
+    block_t: int = 64,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGH,
+    normalize: bool = True,
+):
+    """One fused four-step ADMM iteration.
+
+    Per-iteration counterpart of :func:`fused_admm_run`, shaped like
+    :func:`..gl_fused4.fused_gl_iteration4`: ``normalize=False`` skips the
+    envelope/re-pad epilogue and returns the raw overlap-add (the
+    sequence-parallel path must halo-exchange boundary spill first).
+    ``valid_t`` may be a traced scalar — under ``shard_map`` each shard's
+    true-frame count depends on ``axis_index``.
+
+    Returns ``(x_raw, mag_p, new_Y_re, new_Y_im)``; ``mag_p`` is the
+    pre-update ``|R|`` in permuted layout (methods.py:464-465).
+    """
+    B, t_pad, m, lanes = target.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    assert lanes == LANE and m == n_fft // LANE
+    assert t_pad % block_t == 0
+    lx = x_pad.shape[-1]
+    assert lx == (t_pad - 1) * hop + n_fft, (lx, t_pad, hop, n_fft)
+
+    tables = fft4.fourstep_tables(n_fft, cfg.normalized)
+    np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
+    n_t = t_pad // block_t
+    p_amt = cfg.pad_amount
+    pad_mode = cfg.jnp_pad_mode
+    if p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)
+    else:
+        jrev = np.zeros((8, LANE), np.float32)
+
+    fwd_p, inv_p = split_schemes(precision)
+    kernel = functools.partial(
+        _kernel_iter, block_t=block_t, n_fft=n_fft, hop=hop,
+        pad_mode=pad_mode, p_amt=p_amt, e=e,
+        fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, normalize=normalize,
+    )
+    grid = (B, n_t)
+
+    blk = pl.BlockSpec((1, block_t, m, LANE), lambda b, t: (b, t, 0, 0))
+    sig = pl.BlockSpec((1, 1, lx), lambda b, t: (b, 0, 0))
+    const_sig = pl.BlockSpec((1, 1, lx), lambda b, t: (0, 0, 0))
+    tab_specs = [
+        pl.BlockSpec(tables[k].shape, lambda b, t: tuple([0] * 2))
+        for k in TABLE_KEYS
+    ]
+
+    macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # rho
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # valid_t
+            sig,                                     # x
+            blk, blk, blk,                           # target, Y re+im
+            *tab_specs,
+            pl.BlockSpec((1, n_fft), lambda b, t: (0, 0)),   # window
+            const_sig,                               # inv_env
+            pl.BlockSpec(jrev.shape, lambda b, t: (0, 0)),   # jrev
+        ],
+        out_specs=[sig, blk, blk, blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, lx), jnp.float32),
+            *[jax.ShapeDtypeStruct((B, t_pad, m, LANE), jnp.float32)] * 3,
+        ],
+        scratch_shapes=[pltpu.VMEM((block_t, n_fft), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * t_pad * macs_frame,
+            bytes_accessed=4 * (2 * B * lx + 8 * B * t_pad * n_fft),
+            transcendentals=2 * B * t_pad * n_fft,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, jnp.float32).reshape(1, 1),
+        jnp.asarray(valid_t, jnp.int32).reshape(1, 1),
+        x_pad.astype(jnp.float32).reshape(B, 1, lx),
+        target.astype(jnp.float32),
+        Y_re.astype(jnp.float32),
+        Y_im.astype(jnp.float32),
+        *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
+        jnp.asarray(window, jnp.float32).reshape(1, n_fft),
+        jnp.asarray(inv_env, jnp.float32).reshape(1, 1, lx),
+        jnp.asarray(jrev),
+    )
+    x_raw, ny_re, ny_im, mag = out[0], out[1], out[2], out[3]
+    return x_raw.reshape(B, lx), mag, ny_re, ny_im
+
+
 # ---------------------------------------------------------------------------
 # Whole-run variant: grid (B, n_iters, n_t), state resident in VMEM.
 

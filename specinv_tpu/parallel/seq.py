@@ -48,13 +48,11 @@ from ..models.phase_init import phase_init_tm
 def _check_seq_backend(backend: str, algo: str) -> None:
     """Reject backend strings the seq-parallel path cannot honor.
 
-    Without this, ``admm_seq(backend='pallas4')`` or
-    ``griffin_lim_seq(backend='pallas')`` would silently run the matmul DFT
-    path instead (round-2 verdict weak #5).
+    Without this, ``griffin_lim_seq(backend='pallas')`` (the direct-DFT
+    kernel has no per-shard variant) would silently run the matmul DFT path
+    instead (round-2 verdict weak #5).
     """
-    allowed = ("auto", "fft", "matmul", "matmul4") + (
-        ("pallas4",) if algo == "gl" else ()
-    )
+    allowed = ("auto", "fft", "matmul", "matmul4", "pallas4")
     if backend not in allowed:
         raise ValueError(
             f"backend {backend!r} is not supported on the sequence-parallel "
@@ -118,7 +116,7 @@ def _run_seq(
 
     # Static geometry for the per-shard fused kernel (backend='pallas4'):
     # local time blocks + the kernel's padded signal length.
-    use_pallas = backend == "pallas4" and algo == "gl"
+    use_pallas = backend == "pallas4"
     Ts_local_st = T_pad // n
     from ..models._pallas_driver import resolve_block_t
 
@@ -253,6 +251,29 @@ def _run_seq(
             out = fft4.from_permuted(mag_p, n_fft)[:, :Ts_local, :F]
             return (finish_signal(y).astype(x_chunk.dtype), pre_re, pre_im), out
 
+        def admm_step_pallas(state):
+            # per-shard fused four-step ADMM kernel (DR-reduced update chain;
+            # see ops/pallas/admm_fused4.fused_admm_iteration4).  The row-
+            # validity threshold is this shard's true-frame count — a traced
+            # axis_index expression, passed to the kernel as an SMEM scalar.
+            from ..ops.pallas import fft4
+            from ..ops.pallas.admm_fused4 import fused_admm_iteration4
+
+            x_chunk, y_re, y_im = state
+            x_ext = extend(x_chunk)
+            x_ext = jnp.pad(x_ext, ((0, 0), (0, lx_loc - (C + H))))
+            valid_loc = jnp.clip(T - idx * Ts_local, 0, Ts_local)
+            x_raw, mag_p, y_re, y_im = fused_admm_iteration4(
+                x_ext, y_re, y_im, tgt_p, window_.astype(jnp.float32),
+                ones_env, lr_.astype(jnp.float32), cfg, valid_t=valid_loc,
+                e=0, block_t=block_t4,
+                interpret=jax.default_backend() == "cpu",
+                normalize=False,
+            )
+            y = x_raw[..., : C + H]
+            out = fft4.from_permuted(mag_p, n_fft)[:, :Ts_local, :F]
+            return (finish_signal(y).astype(x_chunk.dtype), y_re, y_im), out
+
         total = B * T * F  # true element count
 
         def psum_mse(out, tgt):
@@ -267,10 +288,7 @@ def _run_seq(
             axes = ("seq",) if not shard_batch_axis else ("seq", "data")
             return jax.lax.psum(local, axes) / total
 
-        if algo == "admm":
-            step = admm_step
-            state0 = (x_chunk0, pre0)  # DR state: Y0 = X0 (U0 = 0)
-        elif use_pallas:
+        if use_pallas:
             from ..ops.pallas import fft4
 
             def pad_rows(a):
@@ -287,6 +305,8 @@ def _run_seq(
                 tgt_full = tgt_loc.astype(jnp.float32)
                 pre_full = pre0
             tgt_p = fft4.to_permuted(pad_rows(tgt_full), n_fft)
+            # GL: momentum seed.  ADMM: DR state Y0 = X0 (U0 = 0) — the same
+            # seeded complex spectrum either way.
             pre_re0 = fft4.to_permuted(
                 pad_rows(pre_full.real.astype(jnp.float32)), n_fft
             )
@@ -294,8 +314,11 @@ def _run_seq(
                 pad_rows(pre_full.imag.astype(jnp.float32)), n_fft
             )
             ones_env = jnp.ones((lx_loc,), jnp.float32)
-            step = gl_step_pallas
+            step = admm_step_pallas if algo == "admm" else gl_step_pallas
             state0 = (x_chunk0, pre_re0, pre_im0)
+        elif algo == "admm":
+            step = admm_step
+            state0 = (x_chunk0, pre0)  # DR state: Y0 = X0 (U0 = 0)
         else:
             step = gl_step
             state0 = (x_chunk0, pre0)

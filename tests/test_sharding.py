@@ -245,11 +245,22 @@ def test_seq_parallel_rejects_unsupported_pallas_variants():
     with pytest.raises(ValueError, match="not supported"):
         griffin_lim_seq(spec, mesh, max_iter=2, backend="pallas")
     with pytest.raises(ValueError, match="not supported"):
-        admm_seq(spec, mesh, max_iter=2, backend="pallas4")
-    with pytest.raises(ValueError, match="not supported"):
         admm_seq(spec, mesh, max_iter=2, backend="pallas")
     with pytest.raises(ValueError, match="not supported"):
         griffin_lim_seq(spec, mesh, max_iter=2, backend="nccl")
+
+
+def test_admm_seq_pallas_kernel_matches_unsharded():
+    """The fused four-step ADMM kernel runs inside the seq shard body
+    (per-shard dynamic valid-row threshold, normalize deferred until after
+    the halo exchange)."""
+    mesh = make_mesh(data=1, seq=4)
+    x = make_signal((22050,), dtype=np.float32)
+    spec = np.abs(torch_stft(x, 512, hop_length=128)).astype(np.float32)
+    kw = dict(max_iter=6, tol=0.0, hop_length=128)
+    ref = np.asarray(ADMM(spec, verbose=False, backend="pallas4", **kw))
+    out = np.asarray(admm_seq(spec, mesh, backend="pallas4", **kw))
+    np.testing.assert_allclose(out, ref, atol=5e-3 * np.abs(ref).max())
 
 
 def test_batched_global_stop_matches_unsharded():
