@@ -47,18 +47,24 @@ from .gl_fused import (
     split_schemes,
 )
 from .gl_fullrun4 import _repad_slab
+from .gl_fused4 import frame_into, ola_from
 
 TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
 
 def _admm_middle(
     r_re, r_im, y_sre, y_sim, tgt, rho,
-    row0, valid_t: int, block_t: int, m: int,
+    row0, valid_t, block_t: int, m: int,
 ):
     """The elementwise DR-reduced ADMM update on (pack*block_t, m, 128)
     planes.  With clip packing the leading dim concatenates ``pack`` clips'
     ``block_t``-row slabs; each clip's frame index is ``row0 + (l mod
-    block_t)`` (identical to ``row0 + l`` when unpacked)."""
+    block_t)`` (identical to ``row0 + l`` when unpacked).
+
+    ``valid_t`` may be a static int (whole-run kernel) OR a traced scalar
+    (per-iteration kernel under shard_map, where the shard's true-frame
+    count is an ``axis_index`` expression) — keep everything touching it
+    jnp-level, no Python branching."""
     rows = y_sre.shape[0]
     onep = 1.0 + rho  # true division, matching the XLA path bit-for-bit
     z_re = (rho * y_sre + r_re) / onep
@@ -122,22 +128,7 @@ def _kernel_iter(
     def _zero_out():
         x_out_ref[...] = jnp.zeros_like(x_out_ref)
 
-    if n_fft % hop == 0:
-        # Strided-reshape framing (see gl_fused._build_frames).
-        for j in range(n_fft // hop):
-            seg = x_ref[
-                0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
-            ].reshape(block_t, hop)
-            frames_s[:, j * hop : (j + 1) * hop] = (
-                seg * window[j * hop : (j + 1) * hop]
-            )
-    else:
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
-            return 0
-
-        jax.lax.fori_loop(0, block_t, body, 0)
+    frame_into(frames_s, x_ref, window, t, block_t, n_fft, hop)
 
     r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
 
@@ -153,25 +144,7 @@ def _kernel_iter(
 
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
-    if n_fft % hop == 0:
-        for j in range(n_fft // hop):
-            start = (t * block_t + j) * hop
-            cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
-                block_t, hop
-            )
-            add = fr[:, j * hop : (j + 1) * hop] * window[
-                j * hop : (j + 1) * hop
-            ]
-            x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
-                cur + add
-            ).reshape(block_t * hop)
-    else:
-        def body_o(tl, _):
-            start = (t * block_t + tl) * hop
-            x_out_ref[0, 0, pl.ds(start, n_fft)] += fr[tl, :] * window
-            return 0
-
-        jax.lax.fori_loop(0, block_t, body_o, 0)
+    ola_from(x_out_ref, fr, window, t, block_t, n_fft, hop)
 
     if normalize:
         @pl.when(t == n_t - 1)

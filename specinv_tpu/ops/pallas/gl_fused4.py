@@ -45,6 +45,52 @@ from .gl_fused import (
 TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
 
+def frame_into(frames_s, x_ref, window, t, block_t: int, n_fft: int, hop: int):
+    """Windowed framing of the grid-step's ``block_t`` frames from the
+    signal ref into VMEM scratch (strided-reshape when ``hop | n_fft``, see
+    gl_fused._build_frames).  Shared by the per-iteration GL and ADMM
+    four-step kernels so the pl.ds indexing cannot drift between them."""
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            seg = x_ref[
+                0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
+            ].reshape(block_t, hop)
+            frames_s[:, j * hop : (j + 1) * hop] = (
+                seg * window[j * hop : (j + 1) * hop]
+            )
+    else:
+        def body(tl, _):
+            start = (t * block_t + tl) * hop
+            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body, 0)
+
+
+def ola_from(x_out_ref, fr, window, t, block_t: int, n_fft: int, hop: int):
+    """Windowed overlap-add of the grid-step's synthesized frames into the
+    signal output ref (counterpart of :func:`frame_into`)."""
+    if n_fft % hop == 0:
+        for j in range(n_fft // hop):
+            start = (t * block_t + j) * hop
+            cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
+                block_t, hop
+            )
+            add = fr[:, j * hop : (j + 1) * hop] * window[
+                j * hop : (j + 1) * hop
+            ]
+            x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
+                cur + add
+            ).reshape(block_t * hop)
+    else:
+        def body_o(tl, _):
+            start = (t * block_t + tl) * hop
+            x_out_ref[0, 0, pl.ds(start, n_fft)] += fr[tl, :] * window
+            return 0
+
+        jax.lax.fori_loop(0, block_t, body_o, 0)
+
+
 def _kernel(
     lr_ref,        # SMEM (1, 1)
     x_ref,         # (1, 1, Lx)
@@ -85,22 +131,7 @@ def _kernel(
     def _zero_out():
         x_out_ref[...] = jnp.zeros_like(x_out_ref)
 
-    if n_fft % hop == 0:
-        # Strided-reshape framing (see gl_fused._build_frames).
-        for j in range(n_fft // hop):
-            seg = x_ref[
-                0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
-            ].reshape(block_t, hop)
-            frames_s[:, j * hop : (j + 1) * hop] = (
-                seg * window[j * hop : (j + 1) * hop]
-            )
-    else:
-        def body(tl, _):
-            start = (t * block_t + tl) * hop
-            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
-            return 0
-
-        jax.lax.fori_loop(0, block_t, body, 0)
+    frame_into(frames_s, x_ref, window, t, block_t, n_fft, hop)
 
     s_re, s_im = fft4.fwd4(frames_s[...], tables, fwd_p)
 
@@ -117,25 +148,7 @@ def _kernel(
     gain = tgt_ref[0] / norm
     fr = fft4.inv4_real(s_re * gain, s_im * gain, tables, inv_p)
 
-    if n_fft % hop == 0:
-        for j in range(n_fft // hop):
-            start = (t * block_t + j) * hop
-            cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
-                block_t, hop
-            )
-            add = fr[:, j * hop : (j + 1) * hop] * window[
-                j * hop : (j + 1) * hop
-            ]
-            x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
-                cur + add
-            ).reshape(block_t * hop)
-    else:
-        def body_o(tl, _):
-            start = (t * block_t + tl) * hop
-            x_out_ref[0, 0, pl.ds(start, n_fft)] += fr[tl, :] * window
-            return 0
-
-        jax.lax.fori_loop(0, block_t, body_o, 0)
+    ola_from(x_out_ref, fr, window, t, block_t, n_fft, hop)
 
     if normalize:
         @pl.when(t == n_t - 1)

@@ -230,49 +230,82 @@ def _run_seq(
             y = overlap_add(inv(Yn) * window_, hop)
             return (finish_signal(y), Yn), out
 
-        def gl_step_pallas(state):
-            # per-shard fused four-step kernel: framing/DFT/momentum/
-            # projection/inverse/OLA in one launch (normalize=False — the
-            # spill must cross shards first), halo exchange + envelope in XLA
-            from ..ops.pallas import fft4
-            from ..ops.pallas.gl_fused4 import fused_gl_iteration4
-
-            x_chunk, pre_re, pre_im = state
-            x_ext = extend(x_chunk)
-            x_ext = jnp.pad(x_ext, ((0, 0), (0, lx_loc - (C + H))))
-            x_raw, mag_p, pre_re, pre_im = fused_gl_iteration4(
-                x_ext, pre_re, pre_im, tgt_p, window_.astype(jnp.float32),
-                ones_env, lr_.astype(jnp.float32), cfg, e=0,
-                block_t=block_t4,
-                interpret=jax.default_backend() == "cpu",
-                with_mag=True, normalize=False,
+        # per-shard fused four-step kernel iteration (GL momentum/projection,
+        # or the DR-reduced ADMM chain — ops/pallas/admm_fused4): framing/
+        # DFT/update/inverse/OLA in one launch (normalize=False — the spill
+        # must cross shards first), halo exchange + envelope in XLA.  Reverse
+        # mode differentiates a RAW XLA twin (no envelope, no re-pad — this
+        # launch stops at the raw overlap-add), same custom_vjp pattern as
+        # the single-chip drivers.
+        @jax.custom_vjp
+        def one_iter(state, tgt, win, env, lr__, valid_):
+            x_ext, st_re, st_im = state
+            kern_kw = dict(
+                cfg=cfg, e=0, block_t=block_t4,
+                interpret=jax.default_backend() == "cpu", normalize=False,
             )
-            y = x_raw[..., : C + H]
-            out = fft4.from_permuted(mag_p, n_fft)[:, :Ts_local, :F]
-            return (finish_signal(y).astype(x_chunk.dtype), pre_re, pre_im), out
+            if algo == "admm":
+                from ..ops.pallas.admm_fused4 import fused_admm_iteration4
 
-        def admm_step_pallas(state):
-            # per-shard fused four-step ADMM kernel (DR-reduced update chain;
-            # see ops/pallas/admm_fused4.fused_admm_iteration4).  The row-
-            # validity threshold is this shard's true-frame count — a traced
-            # axis_index expression, passed to the kernel as an SMEM scalar.
+                # The row-validity threshold is this shard's true-frame
+                # count — a traced axis_index expression (SMEM scalar).
+                x_raw, mag_p, n_re, n_im = fused_admm_iteration4(
+                    x_ext, st_re, st_im, tgt, win, env, lr__,
+                    valid_t=valid_, **kern_kw
+                )
+            else:
+                from ..ops.pallas.gl_fused4 import fused_gl_iteration4
+
+                x_raw, mag_p, n_re, n_im = fused_gl_iteration4(
+                    x_ext, st_re, st_im, tgt, win, env, lr__,
+                    with_mag=True, **kern_kw
+                )
+            return (x_raw, n_re, n_im), mag_p
+
+        def one_iter_fwd(state, tgt, win, env, lr__, valid_):
+            out = one_iter(state, tgt, win, env, lr__, valid_)
+            return out, (state, tgt, win, env, lr__, valid_)
+
+        def one_iter_bwd(residuals, cotangents):
+            from ..models._pallas_driver import (
+                PaddedGeometry, admm_xla_twin4, gl_xla_twin4,
+            )
+
+            state, tgt, win, env, lr__, valid_ = residuals
+            # Raw-output geometry: p_amt=0 makes the twin's repad a no-op and
+            # env arrives as ones, so the twin stops at the raw overlap-add
+            # exactly like the normalize=False kernel.
+            geo_raw = PaddedGeometry(
+                f_pad=n_fft, t_pad=t_pad_loc, block_t=block_t4, lx=lx_loc,
+                lp=lx_loc, l_out=lx_loc, p_amt=0, e=lx_loc - 1,
+            )
+
+            def twin(s, t_, w_, e_, l_):
+                if algo == "admm":
+                    return admm_xla_twin4(
+                        s, t_, w_, e_, l_, cfg, geo_raw, valid_t=valid_
+                    )
+                return gl_xla_twin4(s, t_, w_, e_, l_, cfg, geo_raw)
+
+            _, vjp = jax.vjp(twin, state, tgt, win, env, lr__)
+            return (*vjp(cotangents), np.zeros((), jax.dtypes.float0))
+
+        one_iter.defvjp(one_iter_fwd, one_iter_bwd)
+
+        def pallas_step(state):
             from ..ops.pallas import fft4
-            from ..ops.pallas.admm_fused4 import fused_admm_iteration4
 
-            x_chunk, y_re, y_im = state
+            x_chunk, st_re, st_im = state
             x_ext = extend(x_chunk)
             x_ext = jnp.pad(x_ext, ((0, 0), (0, lx_loc - (C + H))))
             valid_loc = jnp.clip(T - idx * Ts_local, 0, Ts_local)
-            x_raw, mag_p, y_re, y_im = fused_admm_iteration4(
-                x_ext, y_re, y_im, tgt_p, window_.astype(jnp.float32),
-                ones_env, lr_.astype(jnp.float32), cfg, valid_t=valid_loc,
-                e=0, block_t=block_t4,
-                interpret=jax.default_backend() == "cpu",
-                normalize=False,
+            (x_raw, st_re, st_im), mag_p = one_iter(
+                (x_ext, st_re, st_im), tgt_p, window_.astype(jnp.float32),
+                ones_env, lr_.astype(jnp.float32), valid_loc,
             )
             y = x_raw[..., : C + H]
             out = fft4.from_permuted(mag_p, n_fft)[:, :Ts_local, :F]
-            return (finish_signal(y).astype(x_chunk.dtype), y_re, y_im), out
+            return (finish_signal(y).astype(x_chunk.dtype), st_re, st_im), out
 
         total = B * T * F  # true element count
 
@@ -314,7 +347,7 @@ def _run_seq(
                 pad_rows(pre_full.imag.astype(jnp.float32)), n_fft
             )
             ones_env = jnp.ones((lx_loc,), jnp.float32)
-            step = admm_step_pallas if algo == "admm" else gl_step_pallas
+            step = pallas_step
             state0 = (x_chunk0, pre_re0, pre_im0)
         elif algo == "admm":
             step = admm_step
