@@ -408,6 +408,11 @@ def griffin_lim_seq(
     Same numerics as :func:`specinv_tpu.griffin_lim` (momentum, projection,
     envelope) with the time axis sharded; per-iteration communication is two
     nearest-neighbor ``ppermute`` halo slabs of ``n_fft - hop`` samples.
+
+    ``backend='pallas4'`` runs the fused four-step kernel per shard
+    (framing/DFT/momentum/projection/inverse/OLA in one launch; halo
+    exchange and envelope in XLA) and stays differentiable — reverse mode
+    routes through a raw XLA twin of the kernel.
     """
     assert alpha >= 0
     _check_seq_backend(backend, "gl")
@@ -451,6 +456,11 @@ def admm_seq(
     464-477, rows past the true frame count masked inert) with the time axis
     sharded; communication per iteration is the same two nearest-neighbor
     ``ppermute`` halo slabs as :func:`griffin_lim_seq`.
+
+    ``backend='pallas4'`` runs the fused four-step ADMM kernel per shard
+    (DR-reduced update chain, per-shard dynamic row-validity threshold) and
+    stays differentiable via the same raw-XLA-twin ``custom_vjp`` as
+    :func:`griffin_lim_seq`.
     """
     assert rho > 0
     _check_seq_backend(backend, "admm")
