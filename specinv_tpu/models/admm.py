@@ -83,7 +83,7 @@ def step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "remat"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -101,6 +101,7 @@ def run_tm(
     early_stop: bool = True,
     precision=None,
     loss_psum_axes=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
     state = init(
@@ -129,13 +130,14 @@ def run_tm(
         mode=mode,
         early_stop=early_stop,
         loss_fn=stop_loss_fn(loss_psum_axes),
+        remat=remat,
     )
     return state.x
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "interpret", "early_stop", "precision", "loss_psum_axes"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "interpret", "early_stop", "precision", "loss_psum_axes", "remat"),
 )
 def run_tm_pallas(
     target_tm: jnp.ndarray,
@@ -152,6 +154,7 @@ def run_tm_pallas(
     early_stop: bool = True,
     precision=None,
     loss_psum_axes=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """ADMM driven by the fused Pallas iteration kernel; same numerics as
     :func:`run_tm` — see ops/pallas/admm_fused.py.  Differentiable via the
@@ -226,13 +229,14 @@ def run_tm_pallas(
         mode="fori",
         early_stop=early_stop,
         loss_fn=stop_loss_fn(loss_psum_axes),
+        remat=remat,
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -252,6 +256,7 @@ def run_tm_pallas4(
     loss_psum_axes=None,
     mode: str = "fori",
     pack: int | None = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """ADMM driven by the four-step fused kernels (ops/pallas/admm_fused4):
     Hermitian-extended full-spectrum iteration in permuted layout; the
@@ -325,11 +330,19 @@ def run_tm_pallas4(
             state, tgt, win, env, rho_ = residuals
 
             def replay(state_, tgt_, win_, env_, rho__):
-                def body(s, _):
-                    s2, _mag = admm_xla_twin4(
-                        s, tgt_, win_, env_, rho__, cfg, geo, T,
+                def twin(s, t2, w2, e2, r2):
+                    return admm_xla_twin4(
+                        s, t2, w2, e2, r2, cfg, geo, T,
                         precision=twin_precision,
                     )
+
+                if remat:
+                    # save only the per-iteration carry; recompute the
+                    # twin's internals (frames/spectra) in the backward
+                    twin = jax.checkpoint(twin)
+
+                def body(s, _):
+                    s2, _mag = twin(s, tgt_, win_, env_, rho__)
                     return s2, None
 
                 st_mid = state_
@@ -390,13 +403,14 @@ def run_tm_pallas4(
         verbose=verbose,
         mode=mode,
         loss_fn=stop_loss_fn(loss_psum_axes),
+        remat=remat,
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "pack"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "pack", "remat"),
 )
 def _full_run(
     spec_b3: jnp.ndarray,
@@ -414,6 +428,7 @@ def _full_run(
     precision=None,
     loss_psum_axes=None,
     pack=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     if pack is not None and backend != "pallas4":
         # Fail-loud (see griffin_lim._full_run): packing is a whole-run-
@@ -445,6 +460,7 @@ def _full_run(
             mode=mode,
             loss_psum_axes=loss_psum_axes,
             pack=pack,
+            remat=remat,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -462,6 +478,7 @@ def _full_run(
             early_stop=early_stop,
             precision=precision,
             loss_psum_axes=loss_psum_axes,
+            remat=remat,
         )
     return run_tm.__wrapped__(
         target_tm,
@@ -479,6 +496,7 @@ def _full_run(
         early_stop=early_stop,
         precision=fourier.check_precision(precision, backend),
         loss_psum_axes=loss_psum_axes,
+        remat=remat,
     )
 
 
@@ -495,13 +513,16 @@ def ADMM(
     precision=None,
     loss_psum_axes=None,
     pack: int | None = None,
+    remat: bool = False,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:415-506).
 
-    ``mode``/``backend``/``precision`` are the same TPU-specific knobs as on
-    :func:`specinv_tpu.griffin_lim` (precision accepts a ``jax.lax.Precision``
-    or, on the pallas backends, a bf16 scheme string / per-direction tuple).
+    ``mode``/``backend``/``precision``/``remat`` are the same TPU-specific
+    knobs as on :func:`specinv_tpu.griffin_lim` (precision accepts a
+    ``jax.lax.Precision`` or, on the pallas backends, a bf16 scheme string /
+    per-direction tuple; ``remat=True`` rematerializes iterations under
+    reverse mode — same gradients, O(max_iter x state) backward memory).
     """
     assert eva_iter > 0 and max_iter > 0 and tol >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
@@ -554,6 +575,7 @@ def ADMM(
             precision=precision,
             loss_psum_axes=loss_psum_axes,
             pack=pack,
+            remat=remat,
         )
 
     x = run_with_vmem_demotion(

@@ -81,7 +81,7 @@ def step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "remat"),
 )
 def run_tm(
     target_tm: jnp.ndarray,
@@ -99,6 +99,7 @@ def run_tm(
     early_stop: bool = True,
     precision=None,
     loss_psum_axes=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Jitted time-major Griffin-Lim: magnitude target (B, T, F) -> waveform (B, L)."""
     envelope = make_envelope(cfg, window, target_tm.shape[-2])
@@ -125,13 +126,14 @@ def run_tm(
         mode=mode,
         early_stop=early_stop,
         loss_fn=stop_loss_fn(loss_psum_axes),
+        remat=remat,
     )
     return state.x
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "loss_psum_axes"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "loss_psum_axes", "remat"),
 )
 def run_tm_pallas(
     target_tm: jnp.ndarray,
@@ -149,6 +151,7 @@ def run_tm_pallas(
     early_stop: bool = True,
     precision=None,
     loss_psum_axes=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the fused Pallas iteration kernel.
 
@@ -227,6 +230,7 @@ def run_tm_pallas(
         mode="fori",
         early_stop=early_stop,
         loss_fn=stop_loss_fn(loss_psum_axes),
+        remat=remat,
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
@@ -234,7 +238,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -254,6 +258,7 @@ def run_tm_pallas4(
     loss_psum_axes=None,
     mode: str = "fori",
     pack: int | None = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the four-step fused kernel (ops/pallas/gl_fused4).
 
@@ -335,11 +340,19 @@ def run_tm_pallas4(
             state, tgt, win, env, lr_ = residuals
 
             def replay(state_, tgt_, win_, env_, lr__):
-                def body(st, _):
-                    st2, _mag = gl_xla_twin4(
-                        st, tgt_, win_, env_, lr__, cfg, geo,
+                def twin(st, t2, w2, e2, l2):
+                    return gl_xla_twin4(
+                        st, t2, w2, e2, l2, cfg, geo,
                         precision=twin_precision,
                     )
+
+                if remat:
+                    # save only the per-iteration carry; recompute the
+                    # twin's internals (frames/spectra) in the backward
+                    twin = jax.checkpoint(twin)
+
+                def body(st, _):
+                    st2, _mag = twin(st, tgt_, win_, env_, lr__)
                     return st2, None
 
                 st_mid = state_
@@ -405,6 +418,7 @@ def run_tm_pallas4(
         verbose=verbose,
         mode=mode,
         loss_fn=stop_loss_fn(loss_psum_axes),
+        remat=remat,
     )
     x_pad = state[0]
     return x_pad[..., geo.p_amt : geo.p_amt + geo.l_out]
@@ -415,6 +429,7 @@ def run_tm_pallas4(
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
         "interpret", "early_stop", "precision", "loss_psum_axes", "pack",
+        "remat",
     ),
 )
 def _full_run(
@@ -434,6 +449,7 @@ def _full_run(
     precision=None,
     loss_psum_axes=None,
     pack=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
@@ -468,6 +484,7 @@ def _full_run(
             mode=mode,
             loss_psum_axes=loss_psum_axes,
             pack=pack,
+            remat=remat,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -485,6 +502,7 @@ def _full_run(
             early_stop=early_stop,
             precision=precision,
             loss_psum_axes=loss_psum_axes,
+            remat=remat,
         )
     return run_tm.__wrapped__(
         target_tm,
@@ -502,6 +520,7 @@ def _full_run(
         early_stop=early_stop,
         precision=fourier.check_precision(precision, backend),
         loss_psum_axes=loss_psum_axes,
+        remat=remat,
     )
 
 
@@ -518,6 +537,7 @@ def griffin_lim(
     precision=None,
     loss_psum_axes=None,
     pack: int | None = None,
+    remat: bool = False,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:193-270).
@@ -531,6 +551,10 @@ def griffin_lim(
     single-kernel iteration), and ``precision`` (a ``jax.lax.Precision``, or
     for the pallas backend also a bf16 scheme string 'bf16x2'/'bf16x2t' or an
     (analysis, synthesis) tuple of schemes; None = library default).
+    ``remat=True`` rematerializes each iteration under reverse mode
+    (:func:`jax.checkpoint`): gradients are identical, backward HBM drops
+    from O(max_iter x intermediates) to O(max_iter x state) — for
+    inversions inside training objectives with large ``max_iter``.
     """
     assert alpha >= 0
     spec_b3, was_2d, cfg, window = prepare_spec_b3(spec, **stft_kwargs)
@@ -590,6 +614,7 @@ def griffin_lim(
             precision=precision,
             loss_psum_axes=loss_psum_axes,
             pack=pack,
+            remat=remat,
         )
 
     x = run_with_vmem_demotion(

@@ -88,7 +88,7 @@ def _geometry(cfg: STFTConfig, T: int, n: int):
     jax.jit,
     static_argnames=(
         "cfg", "mesh", "max_iter", "eva_iter", "shard_batch_axis", "backend",
-        "algo",
+        "algo", "remat",
     ),
 )
 def _run_seq(
@@ -104,6 +104,7 @@ def _run_seq(
     shard_batch_axis: bool,
     backend: str,
     algo: str = "gl",
+    remat: bool = False,
 ) -> jnp.ndarray:
     n = mesh.shape["seq"]
     B, T, F = target_tm.shape
@@ -365,6 +366,7 @@ def _run_seq(
             eva_iter=eva_iter,
             loss_fn=psum_mse,
             mode="fori",
+            remat=remat,
         )
         return state[0]
 
@@ -401,6 +403,7 @@ def griffin_lim_seq(
     eva_iter: int = 10,
     shard_batch_axis: bool = False,
     backend: str = "auto",
+    remat: bool = False,
     **stft_kwargs,
 ):
     """Sequence-parallel Griffin-Lim over ``mesh``'s ``seq`` axis.
@@ -435,6 +438,7 @@ def griffin_lim_seq(
         shard_batch_axis=shard_batch_axis,
         backend=backend,
         algo="gl",
+        remat=remat,
     )
     return restore_output(x, was_2d)
 
@@ -448,6 +452,7 @@ def admm_seq(
     eva_iter: int = 10,
     shard_batch_axis: bool = False,
     backend: str = "auto",
+    remat: bool = False,
     **stft_kwargs,
 ):
     """Sequence-parallel ADMM over ``mesh``'s ``seq`` axis.
@@ -482,5 +487,6 @@ def admm_seq(
         shard_batch_axis=shard_batch_axis,
         backend=backend,
         algo="admm",
+        remat=remat,
     )
     return restore_output(x, was_2d)

@@ -147,6 +147,7 @@ def iterate(
     mode: str = "fori",
     loss_fn: Callable = None,
     early_stop: bool = True,
+    remat: bool = False,
 ):
     """Run ``state, output = step_fn(state)`` for up to ``max_iter`` iterations.
 
@@ -156,12 +157,21 @@ def iterate(
 
     ``loss_fn(output, target) -> scalar`` overrides the MSE criterion — used
     by the sequence-parallel path to psum the loss across mesh shards.
+
+    ``remat=True`` wraps the step in :func:`jax.checkpoint`: under reverse
+    mode only the per-iteration carry is saved and the step's internals
+    (frames, spectra — typically 5-10x the carry) are recomputed, trading
+    FLOPs for HBM when an inversion sits inside a training objective with a
+    large ``max_iter``.  Identical values either way; no effect on forward-
+    only runs beyond a no-op wrapper.
     """
     assert eva_iter > 0 and max_iter > 0
     verbose = gate_verbose(verbose)
     metric_fn = get_metric(metric)
     if loss_fn is None:
         loss_fn = _mse
+    if remat:
+        step_fn = jax.checkpoint(step_fn)
 
     # tol == 0 can never trigger the reference's stop condition (it would need
     # the loss to rise and fall simultaneously), so when the caller statically
@@ -262,6 +272,7 @@ def iterate_segmented(
     verbose: bool = False,
     loss_fn: Callable = None,
     mode: str = "fori",
+    remat: bool = False,
 ):
     """:func:`iterate` for whole-segment steps (reference-exact, faster).
 
@@ -284,6 +295,12 @@ def iterate_segmented(
     metric_fn = get_metric(metric)
     if loss_fn is None:
         loss_fn = _mse
+    if remat:
+        # See iterate(remat=...): save only the per-segment carry under
+        # reverse mode, recompute segment internals.
+        seg_fn = jax.checkpoint(seg_fn)
+        if tail_fn is not None:
+            tail_fn = jax.checkpoint(tail_fn)
 
     n_segs = max_iter // eva_iter
     tol = jnp.asarray(tol)

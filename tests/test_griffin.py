@@ -257,3 +257,25 @@ def test_scheme_precision_rejected_on_xla_backend():
         precision="highest",
     )
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("tol", [0.0, 1e-3])
+def test_remat_grads_match(tol):
+    """remat=True (jax.checkpoint around each iteration) changes memory, not
+    values: identical output and identical gradients on the XLA path."""
+    x = make_signal((8192,), dtype=np.float32)
+    spec = np.abs(torch_stft(x, 256)).astype(np.float32)
+    kw = dict(max_iter=8, tol=tol, eva_iter=4, verbose=False, backend="fft")
+
+    def loss(s, remat):
+        y = griffin_lim(s, remat=remat, **kw)
+        n = min(y.shape[0], len(x))
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    y0 = np.asarray(griffin_lim(spec, remat=False, **kw))
+    y1 = np.asarray(griffin_lim(spec, remat=True, **kw))
+    np.testing.assert_array_equal(y0, y1)
+    g0 = np.asarray(jax.grad(lambda s: loss(s, False))(jnp.asarray(spec)))
+    g1 = np.asarray(jax.grad(lambda s: loss(s, True))(jnp.asarray(spec)))
+    assert np.isfinite(g1).all()
+    np.testing.assert_allclose(g1, g0, atol=1e-7 * np.abs(g0).max())

@@ -580,3 +580,30 @@ def test_trace_context_disables_optimistic_band(monkeypatch):
     jax.make_jaxpr(lambda: traced())()
     assert seen["optimistic"] is False    # traced call: conservative budget
     assert picked["fallback"] is None
+
+
+@pytest.mark.parametrize("which", ["gl", "admm"])
+@pytest.mark.parametrize("tol", [0.0, 1e-3])
+def test_remat_grads_match_pallas4(which, tol):
+    """remat=True on the pallas4 path checkpoints the XLA-twin replay inside
+    the segment custom_vjp (both the whole-run launch and the segmented
+    early-stop decomposition): same values, same gradients."""
+    import jax
+
+    from specinv_tpu import ADMM
+
+    x = make_signal((8192,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    fn = ADMM if which == "admm" else griffin_lim
+    kw = dict(hop_length=128, max_iter=6, tol=tol, eva_iter=3,
+              verbose=False, backend="pallas4")
+
+    def loss(s, remat):
+        y = fn(s, remat=remat, **kw)
+        n = min(y.shape[0], len(x))
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    g0 = np.asarray(jax.grad(lambda s: loss(s, False))(jnp.asarray(spec)))
+    g1 = np.asarray(jax.grad(lambda s: loss(s, True))(jnp.asarray(spec)))
+    assert np.isfinite(g1).all()
+    np.testing.assert_allclose(g1, g0, atol=1e-7 * np.abs(g0).max())

@@ -331,3 +331,22 @@ def test_batched_global_stop_uneven_batch():
     ref = np.asarray(griffin_lim(spec, **kw))
     out = np.asarray(batched(griffin_lim, mesh, global_stop=True)(spec, **kw))
     np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_seq_remat_grads_match():
+    """remat threads through the seq shard body's iterate: same values and
+    gradients as remat=False."""
+    mesh = make_mesh(data=1, seq=2)
+    x = make_signal((8192,), dtype=np.float32)
+    spec = np.abs(torch_stft(x, 256)).astype(np.float32)
+    kw = dict(max_iter=4, tol=0.0)
+
+    def loss(s, remat):
+        y = griffin_lim_seq(s, mesh, remat=remat, **kw)
+        n = min(y.shape[0], len(x))
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    g0 = np.asarray(jax.grad(lambda s: loss(s, False))(jnp.asarray(spec)))
+    g1 = np.asarray(jax.grad(lambda s: loss(s, True))(jnp.asarray(spec)))
+    assert np.isfinite(g1).all()
+    np.testing.assert_allclose(g1, g0, atol=1e-7 * np.abs(g0).max())
