@@ -254,6 +254,7 @@ def _kernel_frame_step(
         "backend",
         "interpret",
         "precision",
+        "remat",
     ),
 )
 def run_tm(
@@ -268,6 +269,7 @@ def run_tm(
     backend: str = "auto",
     interpret: bool = False,
     precision=None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L).
 
@@ -301,7 +303,7 @@ def run_tm(
                 t, window, lr, cfg, look_ahead=la,
                 asymmetric_window=asymmetric_window, max_iter=max_iter,
                 verbose=False, backend=backend, interpret=interpret,
-                precision=precision,
+                precision=precision, remat=remat,
             )
             if verbose:
                 jax.debug.callback(
@@ -363,13 +365,21 @@ def run_tm(
             jnp.zeros((R, m, 128), jnp.float32),
         )
 
-        def outer_k(state, i):
-            sl = jax.lax.dynamic_slice_in_dim(tgt_fm, i, la + 1, axis=0)
-            new_state, committed = _kernel_frame_step(
-                *state, sl.reshape(R, m, 128), window, lr, cfg,
+        def frame_step_k(state, sl):
+            return _kernel_frame_step(
+                *state, sl, window, lr, cfg,
                 look_ahead=la, asymmetric_window=asymmetric_window,
                 max_iter=max_iter, interpret=interpret, precision=precision,
             )
+
+        if remat:
+            # Save only the per-frame carry under reverse mode; the frame
+            # step's refinements are recomputed (see runner.iterate remat).
+            frame_step_k = jax.checkpoint(frame_step_k)
+
+        def outer_k(state, i):
+            sl = jax.lax.dynamic_slice_in_dim(tgt_fm, i, la + 1, axis=0)
+            new_state, committed = frame_step_k(state, sl.reshape(R, m, 128))
             if verbose:
                 report(i)
             return new_state, committed
@@ -389,15 +399,21 @@ def run_tm(
             ),
         )
 
-        def outer(state: RTISIState, i):
-            target_slice = jax.lax.dynamic_slice_in_dim(
-                target_pad, i, la + 1, axis=1
-            )
-            new_state, committed = _frame_step(
+        def frame_step(state, target_slice):
+            return _frame_step(
                 state, target_slice, window, lr, cfg,
                 look_ahead=la, asymmetric_window=asymmetric_window,
                 max_iter=max_iter, backend=backend,
             )
+
+        if remat:
+            frame_step = jax.checkpoint(frame_step)
+
+        def outer(state: RTISIState, i):
+            target_slice = jax.lax.dynamic_slice_in_dim(
+                target_pad, i, la + 1, axis=1
+            )
+            new_state, committed = frame_step(state, target_slice)
             if verbose:
                 report(i)
             return new_state, committed
@@ -482,6 +498,7 @@ def RTISI_LA(
     verbose=1,
     backend: str = "auto",
     precision=None,
+    remat: bool = False,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:273-412).
@@ -518,6 +535,7 @@ def RTISI_LA(
         backend=backend,
         interpret=jax.default_backend() == "cpu",
         precision=precision,
+        remat=remat,
     )
     return restore_output(x, was_2d)
 

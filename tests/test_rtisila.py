@@ -439,3 +439,29 @@ def test_pallas4_streamer_chunked_batch(monkeypatch):
         np.testing.assert_allclose(chunked2, ref, atol=0)
     finally:
         mod._kernel_streamer_step.clear_cache()
+
+
+@pytest.mark.parametrize("backend", ["fft", "pallas4"])
+def test_remat_grads_match(backend):
+    """remat=True checkpoints each frame step of the outer scan: identical
+    values and gradients on both the XLA scan and the fused-kernel path."""
+    import jax
+
+    x = make_signal((8192,), dtype=np.float32)
+    nfft, hop = (256, 128) if backend == "pallas4" else (256, 64)
+    spec = np.abs(torch_stft(x, nfft, hop_length=hop)).astype(np.float32)
+    kw = dict(hop_length=hop, look_ahead=1, max_iter=3, verbose=False,
+              backend=backend)
+
+    def loss(s, remat):
+        y = RTISI_LA(s, remat=remat, **kw)
+        n = min(y.shape[0], len(x))
+        return jnp.mean((y[:n] - x[:n]) ** 2)
+
+    y0 = np.asarray(RTISI_LA(spec, remat=False, **kw))
+    y1 = np.asarray(RTISI_LA(spec, remat=True, **kw))
+    np.testing.assert_array_equal(y0, y1)
+    g0 = np.asarray(jax.grad(lambda s: loss(s, False))(jnp.asarray(spec)))
+    g1 = np.asarray(jax.grad(lambda s: loss(s, True))(jnp.asarray(spec)))
+    assert np.isfinite(g1).all()
+    np.testing.assert_allclose(g1, g0, atol=1e-7 * np.abs(g0).max())
