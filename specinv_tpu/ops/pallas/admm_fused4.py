@@ -47,7 +47,7 @@ from .gl_fused import (
     split_schemes,
 )
 from .gl_fullrun4 import _repad_slab
-from .gl_fused4 import frame_into, ola_from
+from .gl_fused4 import frame_rows, ola_rows
 
 TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
@@ -128,7 +128,10 @@ def _kernel_iter(
     def _zero_out():
         x_out_ref[...] = jnp.zeros_like(x_out_ref)
 
-    frame_into(frames_s, x_ref, window, t, block_t, n_fft, hop)
+    frame_rows(
+        frames_s, lambda s, n: x_ref[0, 0, pl.ds(s, n)], window,
+        t * block_t, block_t, n_fft, hop,
+    )
 
     r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
 
@@ -144,7 +147,13 @@ def _kernel_iter(
 
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
-    ola_from(x_out_ref, fr, window, t, block_t, n_fft, hop)
+    def _x_out_write(s, v):
+        x_out_ref[0, 0, pl.ds(s, v.size)] = v.reshape(v.size)
+
+    ola_rows(
+        lambda s, n: x_out_ref[0, 0, pl.ds(s, n)], _x_out_write, fr, window,
+        t * block_t, block_t, n_fft, hop,
+    )
 
     if normalize:
         @pl.when(t == n_t - 1)
@@ -333,27 +342,12 @@ def _kernel_full(
     def _zero_write_slab():
         x_s[pl.ds(wr, 1), :] = jnp.zeros((1, x_s.shape[1]), jnp.float32)
 
-    if n_fft % hop == 0:
-        for c in range(pack):
-            rows = pl.ds(c * block_t, block_t)
-            for j in range(n_fft // hop):
-                seg = x_s[
-                    pl.ds(rd, 1),
-                    pl.ds(c * lxc + (t * block_t + j) * hop, block_t * hop),
-                ].reshape(block_t, hop)
-                frames_s[rows, j * hop : (j + 1) * hop] = (
-                    seg * window[j * hop : (j + 1) * hop]
-                )
-    else:
-        for c in range(pack):
-            def body(tl, _, c=c):
-                start = c * lxc + (t * block_t + tl) * hop
-                frames_s[c * block_t + tl, :] = x_s[
-                    pl.ds(rd, 1), pl.ds(start, n_fft)
-                ].reshape(n_fft) * window
-                return 0
-
-            jax.lax.fori_loop(0, block_t, body, 0)
+    for c in range(pack):
+        frame_rows(
+            frames_s,
+            lambda s, n, c=c: x_s[pl.ds(rd, 1), pl.ds(c * lxc + s, n)],
+            window, t * block_t, block_t, n_fft, hop, rows0=c * block_t,
+        )
 
     r_re, r_im = fft4.fwd4(frames_s[...], tables, fwd_p)
 
@@ -385,28 +379,15 @@ def _kernel_full(
 
     fr = fft4.inv4_real(yn_re, yn_im, tables, inv_p)
 
-    if n_fft % hop == 0:
-        for c in range(pack):
-            for j in range(n_fft // hop):
-                start = c * lxc + (t * block_t + j) * hop
-                idx = (pl.ds(wr, 1), pl.ds(start, block_t * hop))
-                cur = x_s[idx].reshape(block_t, hop)
-                add = fr[
-                    c * block_t : (c + 1) * block_t, j * hop : (j + 1) * hop
-                ] * window[j * hop : (j + 1) * hop]
-                x_s[idx] = (cur + add).reshape(1, block_t * hop)
-    else:
-        for c in range(pack):
-            def body_o(tl, _, c=c):
-                start = c * lxc + (t * block_t + tl) * hop
-                idx = (pl.ds(wr, 1), pl.ds(start, n_fft))
-                cur = x_s[idx].reshape(n_fft)
-                x_s[idx] = (cur + fr[c * block_t + tl, :] * window).reshape(
-                    1, n_fft
-                )
-                return 0
+    for c in range(pack):
+        def _write(s, v, c=c):
+            x_s[pl.ds(wr, 1), pl.ds(c * lxc + s, v.size)] = v.reshape(1, v.size)
 
-            jax.lax.fori_loop(0, block_t, body_o, 0)
+        ola_rows(
+            lambda s, n, c=c: x_s[pl.ds(wr, 1), pl.ds(c * lxc + s, n)],
+            _write, fr, window, t * block_t, block_t, n_fft, hop,
+            rows0=c * block_t,
+        )
 
     @pl.when(t == n_t - 1)
     def _normalize():

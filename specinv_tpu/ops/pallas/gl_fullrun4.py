@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import STFTConfig
 from . import fft4
 from .gl_fused import LANE, PROJ_EPS, _anti_identity, split_schemes
+from .gl_fused4 import frame_rows, ola_rows
 
 TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
@@ -282,28 +283,13 @@ def _kernel(
     def _zero_write_slab():
         x_s[pl.ds(wr, 1), :] = jnp.zeros((1, x_s.shape[1]), jnp.float32)
 
-    # --- framing from the read slab
-    if n_fft % hop == 0:
-        for c in range(pack):
-            rows = pl.ds(c * block_t, block_t)
-            for j in range(n_fft // hop):
-                seg = x_s[
-                    pl.ds(rd, 1),
-                    pl.ds(c * lxc + (t * block_t + j) * hop, block_t * hop),
-                ].reshape(block_t, hop)
-                frames_s[rows, j * hop : (j + 1) * hop] = (
-                    seg * window[j * hop : (j + 1) * hop]
-                )
-    else:
-        for c in range(pack):
-            def body(tl, _, c=c):
-                start = c * lxc + (t * block_t + tl) * hop
-                frames_s[c * block_t + tl, :] = x_s[
-                    pl.ds(rd, 1), pl.ds(start, n_fft)
-                ].reshape(n_fft) * window
-                return 0
-
-            jax.lax.fori_loop(0, block_t, body, 0)
+    # --- framing from the read slab (shared loops: gl_fused4.frame_rows)
+    for c in range(pack):
+        frame_rows(
+            frames_s,
+            lambda s, n, c=c: x_s[pl.ds(rd, 1), pl.ds(c * lxc + s, n)],
+            window, t * block_t, block_t, n_fft, hop, rows0=c * block_t,
+        )
 
     # --- one GL iteration for this step's (pack * block_t)-row slab
     s_re, s_im = fft4.fwd4(frames_s[...], tables, fwd_p)
@@ -336,29 +322,16 @@ def _kernel(
     gain = _plane(tgt_ref) / norm
     fr = fft4.inv4_real(s_re * gain, s_im * gain, tables, inv_p)
 
-    # --- overlap-add into the write slab
-    if n_fft % hop == 0:
-        for c in range(pack):
-            for j in range(n_fft // hop):
-                start = c * lxc + (t * block_t + j) * hop
-                idx = (pl.ds(wr, 1), pl.ds(start, block_t * hop))
-                cur = x_s[idx].reshape(block_t, hop)
-                add = fr[
-                    c * block_t : (c + 1) * block_t, j * hop : (j + 1) * hop
-                ] * window[j * hop : (j + 1) * hop]
-                x_s[idx] = (cur + add).reshape(1, block_t * hop)
-    else:
-        for c in range(pack):
-            def body_o(tl, _, c=c):
-                start = c * lxc + (t * block_t + tl) * hop
-                idx = (pl.ds(wr, 1), pl.ds(start, n_fft))
-                cur = x_s[idx].reshape(n_fft)
-                x_s[idx] = (cur + fr[c * block_t + tl, :] * window).reshape(
-                    1, n_fft
-                )
-                return 0
+    # --- overlap-add into the write slab (shared loops: gl_fused4.ola_rows)
+    for c in range(pack):
+        def _write(s, v, c=c):
+            x_s[pl.ds(wr, 1), pl.ds(c * lxc + s, v.size)] = v.reshape(1, v.size)
 
-            jax.lax.fori_loop(0, block_t, body_o, 0)
+        ola_rows(
+            lambda s, n, c=c: x_s[pl.ds(wr, 1), pl.ds(c * lxc + s, n)],
+            _write, fr, window, t * block_t, block_t, n_fft, hop,
+            rows0=c * block_t,
+        )
 
     @pl.when(t == n_t - 1)
     def _normalize():

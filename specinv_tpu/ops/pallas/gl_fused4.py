@@ -45,47 +45,60 @@ from .gl_fused import (
 TABLE_KEYS = fft4.DEVICE_TABLE_KEYS
 
 
-def frame_into(frames_s, x_ref, window, t, block_t: int, n_fft: int, hop: int):
-    """Windowed framing of the grid-step's ``block_t`` frames from the
-    signal ref into VMEM scratch (strided-reshape when ``hop | n_fft``, see
-    gl_fused._build_frames).  Shared by the per-iteration GL and ADMM
-    four-step kernels so the pl.ds indexing cannot drift between them."""
+def frame_rows(
+    frames_s, read, window, t0, block_t: int, n_fft: int, hop: int,
+    rows0: int = 0,
+):
+    """Windowed framing of ``block_t`` frames (first absolute frame ``t0``)
+    into ``frames_s[rows0 : rows0 + block_t]`` — strided-reshape when
+    ``hop | n_fft`` (see gl_fused._build_frames), per-row loop otherwise.
+
+    ``read(start, size)`` returns the signal slice at sample ``start``;
+    callers adapt their storage (a signal input ref, or the whole-run
+    kernels' double-buffered scratch slab with a clip base offset).  ONE
+    definition shared by all four four-step kernels (per-iteration and
+    whole-run, GL and ADMM) so the pl.ds indexing cannot drift between
+    them."""
     if n_fft % hop == 0:
+        rows = pl.ds(rows0, block_t)
         for j in range(n_fft // hop):
-            seg = x_ref[
-                0, 0, pl.ds((t * block_t + j) * hop, block_t * hop)
-            ].reshape(block_t, hop)
-            frames_s[:, j * hop : (j + 1) * hop] = (
+            seg = read((t0 + j) * hop, block_t * hop).reshape(block_t, hop)
+            frames_s[rows, j * hop : (j + 1) * hop] = (
                 seg * window[j * hop : (j + 1) * hop]
             )
     else:
         def body(tl, _):
-            start = (t * block_t + tl) * hop
-            frames_s[tl, :] = x_ref[0, 0, pl.ds(start, n_fft)] * window
+            frames_s[rows0 + tl, :] = (
+                read((t0 + tl) * hop, n_fft).reshape(n_fft) * window
+            )
             return 0
 
         jax.lax.fori_loop(0, block_t, body, 0)
 
 
-def ola_from(x_out_ref, fr, window, t, block_t: int, n_fft: int, hop: int):
-    """Windowed overlap-add of the grid-step's synthesized frames into the
-    signal output ref (counterpart of :func:`frame_into`)."""
+def ola_rows(
+    read, write, fr, window, t0, block_t: int, n_fft: int, hop: int,
+    rows0: int = 0,
+):
+    """Windowed overlap-add of ``fr[rows0 : rows0 + block_t]`` into the
+    signal storage (counterpart of :func:`frame_rows`).
+
+    ``read(start, size)`` / ``write(start, value)`` adapt the storage;
+    ``write`` receives the UPDATED slice shaped ``(block_t, hop)`` (strided
+    path) or ``(n_fft,)`` and reshapes to its own layout."""
     if n_fft % hop == 0:
         for j in range(n_fft // hop):
-            start = (t * block_t + j) * hop
-            cur = x_out_ref[0, 0, pl.ds(start, block_t * hop)].reshape(
-                block_t, hop
-            )
-            add = fr[:, j * hop : (j + 1) * hop] * window[
+            start = (t0 + j) * hop
+            cur = read(start, block_t * hop).reshape(block_t, hop)
+            add = fr[rows0 : rows0 + block_t, j * hop : (j + 1) * hop] * window[
                 j * hop : (j + 1) * hop
             ]
-            x_out_ref[0, 0, pl.ds(start, block_t * hop)] = (
-                cur + add
-            ).reshape(block_t * hop)
+            write(start, cur + add)
     else:
         def body_o(tl, _):
-            start = (t * block_t + tl) * hop
-            x_out_ref[0, 0, pl.ds(start, n_fft)] += fr[tl, :] * window
+            start = (t0 + tl) * hop
+            cur = read(start, n_fft).reshape(n_fft)
+            write(start, cur + fr[rows0 + tl, :] * window)
             return 0
 
         jax.lax.fori_loop(0, block_t, body_o, 0)
@@ -131,7 +144,10 @@ def _kernel(
     def _zero_out():
         x_out_ref[...] = jnp.zeros_like(x_out_ref)
 
-    frame_into(frames_s, x_ref, window, t, block_t, n_fft, hop)
+    frame_rows(
+        frames_s, lambda s, n: x_ref[0, 0, pl.ds(s, n)], window,
+        t * block_t, block_t, n_fft, hop,
+    )
 
     s_re, s_im = fft4.fwd4(frames_s[...], tables, fwd_p)
 
@@ -148,7 +164,13 @@ def _kernel(
     gain = tgt_ref[0] / norm
     fr = fft4.inv4_real(s_re * gain, s_im * gain, tables, inv_p)
 
-    ola_from(x_out_ref, fr, window, t, block_t, n_fft, hop)
+    def _x_out_write(s, v):
+        x_out_ref[0, 0, pl.ds(s, v.size)] = v.reshape(v.size)
+
+    ola_rows(
+        lambda s, n: x_out_ref[0, 0, pl.ds(s, n)], _x_out_write, fr, window,
+        t * block_t, block_t, n_fft, hop,
+    )
 
     if normalize:
         @pl.when(t == n_t - 1)

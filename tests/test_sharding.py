@@ -333,16 +333,21 @@ def test_batched_global_stop_uneven_batch():
     np.testing.assert_allclose(out, ref, atol=1e-10)
 
 
-def test_seq_remat_grads_match():
+@pytest.mark.parametrize("which,backend", [
+    ("gl", "auto"), ("gl", "pallas4"), ("admm", "pallas4"),
+])
+def test_seq_remat_grads_match(which, backend):
     """remat threads through the seq shard body's iterate: same values and
-    gradients as remat=False."""
+    gradients as remat=False — including jax.checkpoint wrapped around the
+    seq kernels' custom_vjp (raw twin + float0 cotangent for valid_)."""
     mesh = make_mesh(data=1, seq=2)
     x = make_signal((8192,), dtype=np.float32)
-    spec = np.abs(torch_stft(x, 256)).astype(np.float32)
-    kw = dict(max_iter=4, tol=0.0)
+    spec = np.abs(torch_stft(x, 256, hop_length=128)).astype(np.float32)
+    fn = admm_seq if which == "admm" else griffin_lim_seq
+    kw = dict(max_iter=4, tol=0.0, hop_length=128, backend=backend)
 
     def loss(s, remat):
-        y = griffin_lim_seq(s, mesh, remat=remat, **kw)
+        y = fn(s, mesh, remat=remat, **kw)
         n = min(y.shape[0], len(x))
         return jnp.mean((y[:n] - x[:n]) ** 2)
 
