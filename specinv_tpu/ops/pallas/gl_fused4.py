@@ -60,7 +60,10 @@ def frame_rows(
     whole-run, GL and ADMM) so the pl.ds indexing cannot drift between
     them."""
     if n_fft % hop == 0:
-        rows = pl.ds(rows0, block_t)
+        # rows0/block_t are always python ints: a static slice keeps the
+        # lowering identical to the pre-dedupe per-kernel loops (pl.ds
+        # would emit a constant dynamic-slice + index normalization).
+        rows = slice(rows0, rows0 + block_t)
         for j in range(n_fft // hop):
             seg = read((t0 + j) * hop, block_t * hop).reshape(block_t, hop)
             frames_s[rows, j * hop : (j + 1) * hop] = (
