@@ -23,6 +23,7 @@ from .models import (  # noqa: F401
     rtisi_la,
 )
 from .config import STFTConfig, canonicalize  # noqa: F401
+from .transforms import istft, stft  # noqa: F401
 
 __all__ = [
     "ADMM",
@@ -40,4 +41,6 @@ __all__ = [
     "spectral_convergence",
     "STFTConfig",
     "canonicalize",
+    "stft",
+    "istft",
 ]
