@@ -19,17 +19,15 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .config import canonicalize
+from .config import _as_numpy_window, canonicalize
+from .ops import fourier
 from .ops import stft as stft_ops
 
 
 def _real_dtype(dtype) -> np.dtype:
-    d = np.dtype(dtype)
-    if d.kind == "c":
-        return np.dtype("float64") if d.itemsize == 16 else np.dtype("float32")
-    if d.kind != "f":
-        return np.dtype("float32")
-    return d
+    """fourier's complex->real mapping, plus float32 for non-float input."""
+    d = np.dtype(fourier._real_dtype(dtype))
+    return d if d.kind == "f" else np.dtype("float32")
 
 
 def stft(
@@ -48,9 +46,19 @@ def stft(
     """
     x = jnp.asarray(x)
     window = stft_kwargs.get("window")
+    complex_in = jnp.iscomplexobj(x) or (
+        window is not None and np.iscomplexobj(_as_numpy_window(window))
+    )
     onesided = stft_kwargs.get("onesided")
     if onesided is None:
-        onesided = not (window is not None and np.iscomplexobj(np.asarray(window)))
+        # torch.stft rule: onesided only when BOTH input and window are real.
+        onesided = not complex_in
+        stft_kwargs = dict(stft_kwargs, onesided=onesided)
+    elif onesided and complex_in:
+        raise ValueError(
+            "onesided=True is impossible with a complex input or window "
+            "(the spectrum is not Hermitian); torch.stft raises here too"
+        )
     if onesided:
         if n_fft % 2:
             raise ValueError(

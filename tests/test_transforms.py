@@ -69,6 +69,33 @@ def test_istft_rejects_magnitudes():
         si.istft(mag)
 
 
+def test_stft_complex_input_full_spectrum():
+    """torch.stft rule: complex input => onesided defaults to False."""
+    import torch
+
+    x = make_signal((2048,), dtype=np.float64) + 1j * make_signal(
+        (2048,), dtype=np.float64, seed=1
+    )
+    ours = np.asarray(si.stft(x, 256, hop_length=64))
+    ref = torch_stft(x, 256, hop_length=64)
+    assert ours.shape == ref.shape == (256, ref.shape[1])
+    np.testing.assert_allclose(ours, ref, atol=1e-8)
+    with pytest.raises(ValueError, match="onesided"):
+        si.stft(x, 256, onesided=True)
+
+
+def test_stft_accepts_torch_window_requires_grad():
+    import torch
+
+    x = make_signal((2048,), dtype=np.float32)
+    win = torch.hann_window(512, requires_grad=True)
+    out = si.stft(x, 512, window=win)
+    ref = torch_stft(
+        x.astype(np.float64), 512, window=win.detach().numpy().astype(np.float64)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
 def test_stft_odd_nfft_onesided_raises():
     x = make_signal((1024,), dtype=np.float32)
     with pytest.raises(ValueError, match="even n_fft"):
