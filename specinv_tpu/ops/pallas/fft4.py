@@ -126,19 +126,134 @@ def _small_dft_rows(f3, wmat, neg=None, prune_eps: float = 1e-12):
     return jnp.concatenate(cols, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Radix m-point stage: the naive literal stage costs ~2m^2 VPU FMAs per
+# 128-lane slice per direction (the kernel's VPU hotspot at n_fft >= 2048 —
+# see benchmarks.md roofline).  A recursive radix-2 Cooley-Tukey over the
+# same (bt, 128) slices with compile-time-literal twiddles cuts that to
+# O(m log m): the butterflies share sub-expressions structurally, XLA's CSE
+# dedupes the recursion's repeated evens/odds work, and its DCE drops the
+# imaginary parts of the final inverse stage (only the real output is
+# consumed).  Weights within 1e-12 of 0/+-1 are pruned to adds/negs exactly
+# like the naive stage.  Selectable via SPECINV_MSTAGE=naive for A/B.
+
+_MSTAGE = None  # resolved lazily so tests can monkeypatch the env
+
+
+def _mstage_mode():
+    global _MSTAGE
+    if _MSTAGE is None:
+        import os
+
+        _MSTAGE = os.environ.get("SPECINV_MSTAGE", "radix")
+    return _MSTAGE
+
+
+def _cmul_lit(p, cr, ci, eps=1e-12):
+    """(re, im) slice pair times the literal complex scalar cr + j*ci.
+
+    Parts are jnp arrays or None (exact zero); 0/+-1 coefficients prune to
+    copies/negations so pure-rotation twiddles (+-1, +-j) cost nothing.
+    """
+    re, im = p
+
+    def term(sl, c):
+        if sl is None or abs(c) < eps:
+            return None
+        if abs(c - 1.0) < eps:
+            return sl
+        if abs(c + 1.0) < eps:
+            return -sl
+        return sl * c
+
+    def comb(a, b):  # a - b with None as zero
+        if a is None:
+            return None if b is None else -b
+        return a if b is None else a - b
+
+    def comb2(a, b):  # a + b
+        if a is None:
+            return b
+        return a if b is None else a + b
+
+    return (comb(term(re, cr), term(im, ci)),
+            comb2(term(re, ci), term(im, cr)))
+
+
+def _cadd(p, q):
+    pr, pi = p
+    qr, qi = q
+    add = lambda a, b: b if a is None else (a if b is None else a + b)  # noqa: E731
+    return (add(pr, qr), add(pi, qi))
+
+
+def _csub(p, q):
+    return _cadd(p, _cmul_lit(q, -1.0, 0.0))
+
+
+def _clist_fft(xs, inverse):
+    """Radix-2 DIT FFT over a list of (re, im) slice pairs, literal
+    twiddles, natural-order output.  No scale (matches wm/iwm)."""
+    m = len(xs)
+    if m == 1:
+        return list(xs)
+    if m % 2:  # non-power-of-two m never occurs (n_fft = m * 128, m = 2^k)
+        raise ValueError(f"radix m-stage needs even m, got {m}")
+    ev = _clist_fft(xs[0::2], inverse)
+    od = _clist_fft(xs[1::2], inverse)
+    h = m // 2
+    sgn = 1.0 if inverse else -1.0
+    out = [None] * m
+    for k in range(h):
+        ang = sgn * 2.0 * np.pi * k / m
+        t = _cmul_lit(od[k], float(np.cos(ang)), float(np.sin(ang)))
+        out[k] = _cadd(ev[k], t)
+        out[k + h] = _csub(ev[k], t)
+    return out
+
+
+def _stack_parts(parts, bt, lane, dtype):
+    cols = [
+        (jnp.zeros((bt, lane), dtype) if p is None else p)[:, None, :]
+        for p in parts
+    ]
+    return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+
+
+def _m_dft_fwd(f3):
+    """m-point forward DFT of real rows: (bt, m, 128) -> (a_re, a_im)."""
+    bt, m, lane = f3.shape
+    ys = _clist_fft([(f3[:, a, :], None) for a in range(m)], inverse=False)
+    return (_stack_parts([y[0] for y in ys], bt, lane, f3.dtype),
+            _stack_parts([y[1] for y in ys], bt, lane, f3.dtype))
+
+
+def _m_idft_real(r_re, r_im):
+    """m-point inverse DFT (no scale), real part only: -> (bt, m, 128)."""
+    bt, m, lane = r_re.shape
+    ys = _clist_fft(
+        [(r_re[:, d, :], r_im[:, d, :]) for d in range(m)], inverse=True
+    )
+    return _stack_parts([y[0] for y in ys], bt, lane, r_re.dtype)
+
+
 def fwd4(frames_nat, t, scheme):
     """Forward four-step: natural frames (bt, n_fft) f32 -> permuted
     spectrum (s_re, s_im), each (bt, m, 128).
 
     The two 128-contraction stages are large 2-D matmuls; the m-point stage
-    is literal-weighted VPU sums (see _small_dft_rows).  No transposes, no
+    is literal-weighted VPU work (radix-2 by default, naive-sum via
+    SPECINV_MSTAGE=naive — see _small_dft_rows).  No transposes, no
     batched dots, every tensor 128-minor.
     """
     bt, n_fft = frames_nat.shape
     m = n_fft // LANE
     f3 = frames_nat.reshape(bt, m, LANE)                     # M[a, b]
-    a_re = _small_dft_rows(f3, t["wm_re"])                   # (bt, m_d, 128_b)
-    a_im = _small_dft_rows(f3, t["wm_im"])
+    if _mstage_mode() == "radix":
+        a_re, a_im = _m_dft_fwd(f3)                          # (bt, m_d, 128_b)
+    else:
+        a_re = _small_dft_rows(f3, t["wm_re"])               # (bt, m_d, 128_b)
+        a_im = _small_dft_rows(f3, t["wm_im"])
     t_re = (a_re * t["twt_re"] - a_im * t["twt_im"]).reshape(bt * m, LANE)
     t_im = (a_re * t["twt_im"] + a_im * t["twt_re"]).reshape(bt * m, LANE)
     # Karatsuba complex matmul: 3 dots instead of 4
@@ -169,7 +284,10 @@ def inv4_real(p_re, p_im, t, scheme):
     r_re = q_re * t["twt_re"] + q_im * t["twt_im"]           # conj twiddle
     r_im = -q_re * t["twt_im"] + q_im * t["twt_re"]
     # real part only: out[:, a, :] = sum_d (r_re iwm_re - r_im iwm_im)[d, a]
-    o = _small_dft_rows(r_re, t["iwm_re"], neg=(r_im, t["iwm_im"]))
+    if _mstage_mode() == "radix":
+        o = _m_idft_real(r_re, r_im)
+    else:
+        o = _small_dft_rows(r_re, t["iwm_re"], neg=(r_im, t["iwm_im"]))
     return o.reshape(bt, m * LANE)                           # n = 128a + b
 
 

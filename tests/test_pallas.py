@@ -117,6 +117,55 @@ def test_fft4_transform_unit():
         np.testing.assert_allclose(np.asarray(back), fr, atol=1e-5 * scale)
 
 
+def test_fft4_mstage_radix_vs_naive():
+    """The radix-2 literal m-point stage matches the naive literal sums
+    (both directions, every power-of-two m the kernels can see) and both
+    match jnp.fft at f32 tolerance."""
+    import jax
+
+    from specinv_tpu.ops.pallas import fft4
+
+    rng = np.random.default_rng(7)
+    saved = fft4._MSTAGE
+    try:
+        for n_fft in (128, 512, 1024, 2048, 4096):  # m = 1, 4, 8, 16, 32
+            fr = rng.standard_normal((3, n_fft)).astype(np.float32)
+            spec = (
+                rng.standard_normal((3, n_fft))
+                + 1j * rng.standard_normal((3, n_fft))
+            ).astype(np.complex64)
+            t = fft4.tables_as_jnp(n_fft, False)
+            p = fft4.to_permuted(jnp.asarray(spec), n_fft)
+            outs = {}
+            for mode in ("radix", "naive"):
+                fft4._MSTAGE = mode
+                s_re, s_im = fft4.fwd4(
+                    jnp.asarray(fr), t, jax.lax.Precision.HIGHEST
+                )
+                back = fft4.inv4_real(
+                    jnp.real(p), jnp.imag(p), t, jax.lax.Precision.HIGHEST
+                )
+                outs[mode] = (np.asarray(s_re + 1j * s_im), np.asarray(back))
+            ref = np.fft.fft(fr, axis=-1)
+            scale = np.abs(ref).max()
+            got = fft4.from_permuted(jnp.asarray(outs["radix"][0]), n_fft)
+            np.testing.assert_allclose(np.asarray(got), ref, atol=3e-4 * scale)
+            iref = np.fft.ifft(spec, axis=-1).real
+            np.testing.assert_allclose(
+                outs["radix"][1], iref, atol=1e-5 * np.abs(spec).max()
+            )
+            # mode-vs-mode: identical math, different summation order only
+            np.testing.assert_allclose(
+                outs["radix"][0], outs["naive"][0], atol=2e-4 * scale
+            )
+            np.testing.assert_allclose(
+                outs["radix"][1], outs["naive"][1],
+                atol=1e-5 * np.abs(spec).max(),
+            )
+    finally:
+        fft4._MSTAGE = saved
+
+
 def test_unsupported_config_raises():
     x = make_signal((8000,), dtype=np.float32)
     spec = _mag(x, 500, 100)  # n_fft not divisible by 128
