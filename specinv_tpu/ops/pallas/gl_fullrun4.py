@@ -129,12 +129,22 @@ def fits(cfg: STFTConfig, T: int, block_t: int | None = None,
 # measured gains flatten past a few thousand rows (benchmarks.md).
 PACK_ROWS_TARGET = 4096
 
+# m=16 has its own, smaller row target: with the radix m-stage, interleaved
+# A/B at n_fft=2048/B=16/2 s measured pack=4 (2048 rows) +14% but pack=8
+# (4096 rows) -25% vs pack=1 — past ~2048 rows the larger live radix
+# intermediates and VMEM pressure outweigh the grid-step amortization.
+PACK_ROWS_TARGET_M16 = 2048
+
 # Packing only pays below this chunk count.  Measured (interleaved A/B,
 # B=16 x 2 s clips): n_fft=1024 +124% marginal it/s at pack=8, n_fft=512
-# +41% at pack=16, n_fft=2048 (m=16) neutral-to-negative — the m-point VPU
-# stage scales with m^2/row and dominates there, so packing has nothing
-# left to amortize.  See benchmarks.md "Clip packing".
+# +41% at pack=16.  With the naive O(m^2) m-point stage, n_fft=2048 (m=16)
+# measured neutral-to-negative — the VPU stage dominates there and packing
+# amortizes nothing; the radix stage cut that term ~4x and the re-measure
+# found +14% at pack=4 (so the cap is mstage-dependent).  n_fft=4096
+# (m=32) measured -5% even with the radix stage: stays unpacked.  See
+# benchmarks.md "Clip packing".
 PACK_MAX_M = 8
+PACK_MAX_M_RADIX = 16
 
 
 def choose_pack(
@@ -144,17 +154,22 @@ def choose_pack(
     """Pick the clip-packing factor for a (B, T)-shaped batch.
 
     Smallest divisor of ``B`` that brings the per-step MXU row count
-    (``pack * block_t * m``) to :data:`PACK_ROWS_TARGET`, for transforms
-    small enough that packing measures as a win (``m <= PACK_MAX_M``),
-    subject to the packed launch staying plane-RESIDENT within the
-    conservative :data:`VMEM_BUDGET` for its actual ``emit_state``/
-    ``with_mag`` flags (packing that forces t-blocked streaming or the
-    optimistic band is never worth the risk — it exists for short clips,
-    whose planes are small).
+    (``pack * block_t * m``) to the measured rows target
+    (:data:`PACK_ROWS_TARGET`, or :data:`PACK_ROWS_TARGET_M16` at m=16),
+    for transforms small enough that packing measures as a win
+    (``m <= PACK_MAX_M_RADIX`` with the default radix m-stage,
+    ``m <= PACK_MAX_M`` under ``SPECINV_MSTAGE=naive`` where the VPU
+    m-stage dominates at m=16), subject to the packed launch staying
+    plane-RESIDENT within the conservative :data:`VMEM_BUDGET` for its
+    actual ``emit_state``/``with_mag`` flags (packing that forces
+    t-blocked streaming or the optimistic band is never worth the risk —
+    it exists for short clips, whose planes are small).
     """
     m = cfg.n_fft // LANE
-    if B <= 1 or m > PACK_MAX_M:
+    max_m = PACK_MAX_M_RADIX if fft4._mstage_mode() == "radix" else PACK_MAX_M
+    if B <= 1 or m > max_m:
         return 1
+    rows_target = PACK_ROWS_TARGET if m <= 8 else PACK_ROWS_TARGET_M16
     from ...models._pallas_driver import resolve_block_t
 
     bt = resolve_block_t(T, cfg.n_fft, block_t)
@@ -164,7 +179,7 @@ def choose_pack(
     for k in range(2, B + 1):
         if B % k:
             continue
-        if best * bt * m >= PACK_ROWS_TARGET:
+        if best * bt * m >= rows_target:
             break
         if plane_vmem_bytes(
             k * t_pad, k * bt, cfg.n_fft, k * lx, emit_state, with_mag, False

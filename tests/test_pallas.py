@@ -495,20 +495,29 @@ def test_fullrun_clip_packing_parity(monkeypatch, tol, max_iter, eva_iter):
         np.testing.assert_allclose(out, base, atol=0)
 
 
-def test_choose_pack_policy():
+def test_choose_pack_policy(monkeypatch):
     """choose_pack: divisor of B, 1 for single clips, larger for short clips
-    at small n_fft, 1 at m > PACK_MAX_M (measured neutral — benchmarks.md),
-    and bounded by the resident VMEM budget."""
+    at small n_fft, mstage-dependent at m=16 (radix measured pack=4 +14%,
+    naive measured neutral — benchmarks.md), 1 at m=32 (measured -5% even
+    with radix), and bounded by the resident VMEM budget."""
     from specinv_tpu.config import canonicalize
-    from specinv_tpu.ops.pallas import gl_fullrun4
+    from specinv_tpu.ops.pallas import fft4, gl_fullrun4
 
     cfg1k, _ = canonicalize(513, np.float32)  # n_fft=1024, hop=256
     assert gl_fullrun4.choose_pack(cfg1k, 173, 1) == 1
     k16 = gl_fullrun4.choose_pack(cfg1k, 173, 16)  # 2 s clips, bench config
     assert k16 > 1 and 16 % k16 == 0
-    # m > PACK_MAX_M: packing measured neutral, policy keeps 1
+    # m=16: packs to the measured 2048-row optimum with the radix m-stage,
+    # stays unpacked under the naive stage (VPU-bound there)
     cfg2k, _ = canonicalize(1025, np.float32)  # n_fft=2048
+    monkeypatch.setattr(fft4, "_MSTAGE", "radix")
+    assert gl_fullrun4.choose_pack(cfg2k, 87, 16) == 4
+    monkeypatch.setattr(fft4, "_MSTAGE", "naive")
     assert gl_fullrun4.choose_pack(cfg2k, 87, 16) == 1
+    monkeypatch.setattr(fft4, "_MSTAGE", "radix")
+    # m=32: never packs
+    cfg4k, _ = canonicalize(2049, np.float32)  # n_fft=4096
+    assert gl_fullrun4.choose_pack(cfg4k, 44, 16) == 1
     # never exceeds the resident budget
     from specinv_tpu.models._pallas_driver import resolve_block_t
 
