@@ -46,8 +46,14 @@ def _readback(a, tries=3):
 
 
 def main():
+    # Optional config filter: `python exp_blockt.py 2048x10x1 1024x2x16`
+    configs = CONFIGS
+    picks = [a for a in sys.argv[1:] if "x" in a]
+    if picks:
+        want = {tuple(int(p) for p in a.split("x")) for a in picks}
+        configs = [c for c in CONFIGS if c in want]
     rng = np.random.default_rng(1)
-    for n_fft, seconds, B in CONFIGS:
+    for n_fft, seconds, B in configs:
         clips = rng.standard_normal((B, SR * seconds)).astype(np.float32)
         win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
         cfg, w = canonicalize(n_fft // 2 + 1, np.float32, window=win)
