@@ -53,11 +53,15 @@ def _report_progress(msg: str) -> None:
     _progress_sink(msg)
 
 
-# Row bound per fused-kernel launch: chunk batches so B*(la+1) stays at the
-# measured sweet spot (benchmarks.md "Batched RTISI-LA": at B=64, 64-row
-# chunks 43.2k / 128-row 42.4k / unchunked-256-row 35.9k frames/s
-# aggregate — chunking is +20% and 64 vs 128 is noise).
-_KERNEL_CHUNK_ROWS = 64
+# Row bound per fused-kernel launch: batches whose B*(la+1) exceeds it run
+# as sequential row-bounded chunks.  With the NAIVE m-stage 64-row chunks
+# measured +20% over one 256-row launch at B=64; the radix m-stage inverted
+# that (scripts/exp_rtisi_chunk.py, interleaved marginals: 256-row 81.2k /
+# 128-row 79.8k / 64-row chunks 78.0k frames/s aggregate) — fewer launches
+# now win, so the bound sits at the largest MEASURED row count.  Past it
+# (B > 64 at la=3) chunking still caps the per-launch VMEM footprint.
+# `RTISI_LA(..., chunk_rows=N)` overrides.
+_KERNEL_CHUNK_ROWS = 256
 
 
 class RTISIState(NamedTuple):
@@ -255,6 +259,7 @@ def _kernel_frame_step(
         "interpret",
         "precision",
         "remat",
+        "chunk_rows",
     ),
 )
 def run_tm(
@@ -270,6 +275,7 @@ def run_tm(
     interpret: bool = False,
     precision=None,
     remat: bool = False,
+    chunk_rows: int | None = None,
 ) -> jnp.ndarray:
     """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L).
 
@@ -284,13 +290,12 @@ def run_tm(
     num_keep = (n_fft - 1) // hop
     use_kernel = backend == "pallas4"
 
-    # The fused kernel's sweet spot is <= ~64 DFT rows per launch (measured
-    # at B=64: 64-row chunks +20% over one 256-row launch — benchmarks.md
-    # "Batched RTISI-LA");
-    # larger batches are independent streams, so run them as sequential
-    # row-bounded chunks of one compiled program (zero-magnitude padding is
-    # benign: projection gain 0/(|S|+eps) = 0).
-    chunk_b = max(1, _KERNEL_CHUNK_ROWS // (la + 1))
+    # Batches past the per-launch row bound (see _KERNEL_CHUNK_ROWS; the
+    # radix m-stage moved the measured optimum to the largest tested launch)
+    # are independent streams, so run them as sequential row-bounded chunks
+    # of one compiled program (zero-magnitude padding is benign: projection
+    # gain 0/(|S|+eps) = 0).
+    chunk_b = max(1, (chunk_rows or _KERNEL_CHUNK_ROWS) // (la + 1))
     if use_kernel and B > chunk_b:
         nb = -(-B // chunk_b)
         pad_b = nb * chunk_b - B
@@ -303,7 +308,7 @@ def run_tm(
                 t, window, lr, cfg, look_ahead=la,
                 asymmetric_window=asymmetric_window, max_iter=max_iter,
                 verbose=False, backend=backend, interpret=interpret,
-                precision=precision, remat=remat,
+                precision=precision, remat=remat, chunk_rows=chunk_rows,
             )
             if verbose:
                 jax.debug.callback(
@@ -322,8 +327,16 @@ def run_tm(
     # Pad the target by `la` frames on both sides of the time axis (339).
     target_pad = jnp.pad(target_tm, ((0, 0), (la, la), (0, 0)))
 
+    # Kernel path: the only XLA DFT left is the one-off zero-phase seed.
+    # Pin it to the fft lowering — 'auto' picks by dot-row count, which is
+    # the LAUNCH batch size here, so chunked sub-batches could seed through
+    # a different lowering (fft vs matmul, 1-ulp apart) than the unchunked
+    # launch and RTISI's causal recursion would amplify that into visibly
+    # different (quality-equivalent) waveforms.  A fixed lowering keeps the
+    # documented chunking bitwise-invariance on hardware; fft is also the
+    # measured winner at seed-sized row counts.
     inv = partial(
-        fourier.inverse, cfg=cfg, backend="auto" if use_kernel else backend
+        fourier.inverse, cfg=cfg, backend="fft" if use_kernel else backend
     )
 
     # First frame seeded with zero phase (352-358).
@@ -499,6 +512,7 @@ def RTISI_LA(
     backend: str = "auto",
     precision=None,
     remat: bool = False,
+    chunk_rows: int | None = None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:273-412).
@@ -512,7 +526,10 @@ def RTISI_LA(
     (``ops/pallas/rtisi_fused4.py``); requires onesided, n_fft % 128 == 0,
     hop % 128 == 0, a real window and float32 input.  ``precision`` applies
     to that kernel (``jax.lax.Precision`` or a bf16 scheme string; None =
-    library default HIGH).
+    library default HIGH).  ``chunk_rows`` overrides the kernel's per-launch
+    DFT-row bound (default :data:`_KERNEL_CHUNK_ROWS`; batches whose
+    ``B * (look_ahead + 1)`` exceeds it run as row-bounded sequential chunks
+    — bitwise-invariant, tuning-only).
     """
     assert max_iter > 0 and alpha >= 0
     spec = common_as_array(spec)
@@ -522,6 +539,14 @@ def RTISI_LA(
     num_keep = (cfg.n_fft - 1) // cfg.hop_length
     la = num_keep if look_ahead < 0 else look_ahead
     backend = _resolve_backend(backend, cfg, window, spec_tm.dtype, precision)
+    if chunk_rows is not None:
+        if chunk_rows < 1:
+            raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
+        if backend != "pallas4":
+            raise ValueError(
+                "chunk_rows tunes the fused-kernel launch bound and applies "
+                f"to backend='pallas4' only (resolved backend: {backend!r})"
+            )
     lr = jnp.asarray(alpha / (1 + alpha), dtype=spec_tm.dtype)
     x = run_tm(
         spec_tm,
@@ -536,6 +561,7 @@ def RTISI_LA(
         interpret=jax.default_backend() == "cpu",
         precision=precision,
         remat=remat,
+        chunk_rows=chunk_rows,
     )
     return restore_output(x, was_2d)
 
@@ -553,7 +579,7 @@ _frame_step_jit = partial(
     jax.jit,
     static_argnames=(
         "cfg", "look_ahead", "asymmetric_window", "max_iter",
-        "interpret", "precision",
+        "interpret", "precision", "chunk_rows",
     ),
 )
 def _kernel_streamer_step(
@@ -567,6 +593,7 @@ def _kernel_streamer_step(
     max_iter: int,
     interpret: bool = False,
     precision=None,
+    chunk_rows: int | None = None,
 ):
     """Streamer-facing wrapper of :func:`_kernel_frame_step`.  In kernel
     mode the streamer's ``pre_spec`` field holds the kernel's permuted
@@ -606,7 +633,7 @@ def _kernel_streamer_step(
         ni = jnp.swapaxes(new_im.reshape(la + 1, b, m, 128), 0, 1)
         return keeped2, update2, nr, ni, committed
 
-    chunk_b = max(1, _KERNEL_CHUNK_ROWS // (la + 1))
+    chunk_b = max(1, (chunk_rows or _KERNEL_CHUNK_ROWS) // (la + 1))
     if B > chunk_b:
         nb = -(-B // chunk_b)
         pb = nb * chunk_b - B
@@ -670,6 +697,7 @@ class RTISIStreamer:
         batch: int = 1,
         dtype=jnp.float32,
         backend: str = "auto",
+        chunk_rows: int | None = None,
         **stft_kwargs,
     ):
         from ..config import canonicalize
@@ -687,6 +715,15 @@ class RTISIStreamer:
         self.backend = backend = _resolve_backend(
             backend, self.cfg, self.window, dtype
         )
+        if chunk_rows is not None:
+            if chunk_rows < 1:
+                raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
+            if backend != "pallas4":
+                raise ValueError(
+                    "chunk_rows tunes the fused-kernel launch bound and "
+                    f"applies to backend='pallas4' only (resolved: {backend!r})"
+                )
+        self.chunk_rows = chunk_rows
         self.F = num_freqs
 
         cdtype = jnp.result_type(dtype, jnp.complex64)
@@ -733,10 +770,13 @@ class RTISIStreamer:
             frame_mag = frame_mag[None]
         if not self._started:
             # Seed the newest in-flight frame with zero phase (ref 352-358).
+            # 'fft' pinned like run_tm's kernel-path seed: keeps the seed
+            # lowering independent of the stream batch size, so the streamer
+            # stays bit-identical to the offline kernel path at any B.
             first = fourier.inverse(
                 frame_mag[:, None, :].astype(self._cdtype),
                 self.cfg,
-                backend="auto" if self.backend == "pallas4" else self.backend,
+                backend="fft" if self.backend == "pallas4" else self.backend,
             ).astype(self.state.update.dtype)
             self.state = self.state._replace(
                 update=jnp.concatenate(
@@ -757,6 +797,7 @@ class RTISIStreamer:
                 asymmetric_window=self.asymmetric_window,
                 max_iter=self.max_iter,
                 interpret=jax.default_backend() == "cpu",
+                chunk_rows=self.chunk_rows,
             )
         else:
             self.state, committed = _frame_step_jit(

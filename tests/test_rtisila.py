@@ -319,30 +319,34 @@ def test_precision_rejected_on_xla_backends():
                  precision=jax.lax.Precision.HIGHEST)
 
 
-def test_pallas4_chunked_batches(monkeypatch):
+def test_pallas4_chunked_batches():
     """Row-bounded batch chunking (big batches run as sequential kernel
     chunks) is bitwise-identical per stream: all kernel math is
-    row-independent, and zero-magnitude padding streams are inert."""
-    import importlib
-
-    mod = importlib.import_module("specinv_tpu.models.rtisi_la")
-
+    row-independent, and zero-magnitude padding streams are inert.  The
+    public ``chunk_rows`` kwarg pins the bound (a static jit arg, so each
+    value traces its own chunking structure)."""
     n_fft = 512
     x = make_signal((3, 3000), dtype=np.float32)
     mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[..., :6]
     kw = dict(look_ahead=2, max_iter=2, verbose=False, backend="pallas4")
     a = np.asarray(RTISI_LA(mag, **kw))
-    try:
-        monkeypatch.setattr(mod, "_KERNEL_CHUNK_ROWS", 3)  # chunk_b=1, 3 chunks
-        mod.run_tm.clear_cache()  # the chunk bound is read at trace time
-        b = np.asarray(RTISI_LA(mag, **kw))
-        np.testing.assert_allclose(b, a, atol=0)
-        monkeypatch.setattr(mod, "_KERNEL_CHUNK_ROWS", 6)  # chunk_b=2, pad B->4
-        mod.run_tm.clear_cache()
-        c = np.asarray(RTISI_LA(mag, **kw))
-        np.testing.assert_allclose(c, a, atol=0)
-    finally:
-        mod.run_tm.clear_cache()
+    b = np.asarray(RTISI_LA(mag, chunk_rows=3, **kw))  # chunk_b=1, 3 chunks
+    np.testing.assert_allclose(b, a, atol=0)
+    c = np.asarray(RTISI_LA(mag, chunk_rows=6, **kw))  # chunk_b=2, pad B->4
+    np.testing.assert_allclose(c, a, atol=0)
+
+
+def test_chunk_rows_validation():
+    """chunk_rows is a fused-kernel launch tuning knob: rejected on XLA
+    backends (instead of silently ignored) and must be positive."""
+    n_fft = 512
+    x = make_signal((3000,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[:, :6]
+    with pytest.raises(ValueError, match="pallas4"):
+        RTISI_LA(mag, backend="fft", max_iter=2, verbose=False, chunk_rows=64)
+    with pytest.raises(ValueError, match=">= 1"):
+        RTISI_LA(mag, backend="pallas4", max_iter=2, verbose=False,
+                 chunk_rows=0)
 
 
 @pytest.mark.parametrize("asymmetric_window", [False, True])
@@ -413,9 +417,10 @@ def test_backend_dispatch_policy(monkeypatch):
     assert resolve(2048) == "auto"              # CPU: XLA scan path
 
 
-def test_pallas4_streamer_chunked_batch(monkeypatch):
+def test_pallas4_streamer_chunked_batch():
     """Streamer batches beyond the kernel-row bound run as row-bounded
-    chunks, bitwise-identical per stream to the single-launch streamer."""
+    chunks, bitwise-identical per stream to the single-launch streamer
+    (`chunk_rows` is a public constructor knob, a static jit arg)."""
     import importlib
 
     mod = importlib.import_module("specinv_tpu.models.rtisi_la")
@@ -425,25 +430,20 @@ def test_pallas4_streamer_chunked_batch(monkeypatch):
     mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[..., :6]
 
     def run_stream(chunk_rows):
-        monkeypatch.setattr(mod, "_KERNEL_CHUNK_ROWS", chunk_rows)
-        mod._kernel_streamer_step.clear_cache()
         st = mod.RTISIStreamer(
             num_freqs=mag.shape[1], look_ahead=la, max_iter=2,
-            batch=mag.shape[0], backend="pallas4",
+            batch=mag.shape[0], backend="pallas4", chunk_rows=chunk_rows,
         )
         chunks = [st.push(mag[:, :, t]) for t in range(mag.shape[-1])]
         chunks = [c for c in chunks if c is not None]
         tail = st.flush()
         return np.asarray(jnp.concatenate(chunks + [tail], axis=1))
 
-    try:
-        ref = run_stream(10**9)          # single launch
-        chunked = run_stream(3)          # chunk_b=1, 3 chunks + padding pad_b=0
-        np.testing.assert_allclose(chunked, ref, atol=0)
-        chunked2 = run_stream(6)         # chunk_b=2, pads B=3 -> 4
-        np.testing.assert_allclose(chunked2, ref, atol=0)
-    finally:
-        mod._kernel_streamer_step.clear_cache()
+    ref = run_stream(10**9)          # single launch
+    chunked = run_stream(3)          # chunk_b=1, 3 chunks + padding pad_b=0
+    np.testing.assert_allclose(chunked, ref, atol=0)
+    chunked2 = run_stream(6)         # chunk_b=2, pads B=3 -> 4
+    np.testing.assert_allclose(chunked2, ref, atol=0)
 
 
 @pytest.mark.parametrize("backend", ["fft", "pallas4"])
