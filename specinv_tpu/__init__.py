@@ -23,6 +23,12 @@ from .models import (  # noqa: F401
     rtisi_la,
 )
 from .config import STFTConfig, canonicalize  # noqa: F401
+from .ops.mel import (  # noqa: F401
+    log_mel_transform,
+    mel_filterbank,
+    mel_to_audio,
+    mel_to_linear,
+)
 from .transforms import istft, stft  # noqa: F401
 
 __all__ = [
@@ -43,4 +49,8 @@ __all__ = [
     "canonicalize",
     "stft",
     "istft",
+    "log_mel_transform",
+    "mel_filterbank",
+    "mel_to_audio",
+    "mel_to_linear",
 ]
