@@ -25,3 +25,22 @@ jax.config.update("jax_enable_x64", True)
 REFERENCE_PATH = "/root/reference"
 if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
     sys.path.insert(0, REFERENCE_PATH)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap process-lifetime compiled-executable state.
+
+    The full suite compiles many hundreds of programs (Pallas interpret
+    variants, shard_map meshes, grad twins) in ONE process; with all of them
+    kept alive, XLA:CPU's compiler segfaulted nondeterministically in late
+    modules (observed twice inside backend_compile_and_load during
+    test_sharding's seq-parallel compiles — each module passes alone).
+    Dropping the executable caches between modules keeps the native-heap
+    footprint bounded; cross-module cache reuse is negligible (each module
+    uses its own shapes/configs), so the runtime cost is small.
+    """
+    yield
+    jax.clear_caches()
