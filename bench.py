@@ -248,9 +248,20 @@ def _final_line(results, baseline, note=None):
             head = results["pallas4"]
         else:
             head = max(results.values(), key=lambda r: r["iters_per_sec"])
-        ips = head["iters_per_sec"]
+        # Headline = the MARGINAL rate (differenced 400-iter vs 100-iter
+        # calls): per-call numbers here are dominated by ~60-70 ms of fixed
+        # tunnel RPC per call, which measures the link, not the chip (round-3
+        # verdict weak #7).  The per-call rate stays in detail.  The torch
+        # baseline runs on the local host (no RPC), so marginal-vs-baseline
+        # is the honest chip-vs-chip comparison.
+        ips = head.get("marginal_iters_per_sec") or head["iters_per_sec"]
+        headline_kind = (
+            "marginal" if head.get("marginal_iters_per_sec") else "per_call"
+        )
         detail = {
             "backend": head["backend"],
+            "headline": headline_kind,
+            "per_call_iters_per_sec": round(head["iters_per_sec"], 2),
             "per_backend_iters_per_sec": {
                 k: round(v["iters_per_sec"], 2) for k, v in results.items()
             },
@@ -268,7 +279,9 @@ def _final_line(results, baseline, note=None):
         return {
             "metric": "griffin_lim_iters_per_sec",
             "value": round(ips, 2),
-            "unit": "iters/s (n_fft=2048, 10s clip, 1 chip)",
+            "unit": (
+                f"iters/s {headline_kind} (n_fft=2048, 10s clip, 1 chip)"
+            ),
             "vs_baseline": round(ips / baseline["iters_per_sec"], 2),
             "detail": detail,
         }
