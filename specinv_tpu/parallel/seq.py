@@ -21,9 +21,11 @@ Geometry (all static):
     center-pad region by reflecting its own divided samples, exactly like the
     unsharded path re-pads every analysis call.
 
-Supported: ``pad_mode`` 'reflect'/'constant'/'replicate' (circular would need
-an end-to-end exchange; unsupported), real windows, fixed or tol-based
-iteration counts (the stop loss is psum-reduced across shards).
+Supported: all four ``pad_mode``s — reflect/constant/replicate are local to
+the edge shards; circular adds one end-to-end ``ppermute`` pair per
+iteration (the wrap pad's source samples live on the opposite edge shard) —
+real windows, fixed or tol-based iteration counts (the stop loss is
+psum-reduced across shards).
 """
 from __future__ import annotations
 
@@ -112,9 +114,6 @@ def _run_seq(
     P_amt = cfg.pad_amount
     Ts, T_pad, C, H, Lp, L_out, b_end, e_local = _geometry(cfg, T, n)
 
-    if cfg.pad_mode == "circular" and P_amt:
-        raise NotImplementedError("seq-parallel path does not support circular padding")
-
     # Static geometry for the per-shard fused kernel (backend='pallas4'):
     # local time blocks + the kernel's padded signal length.
     use_pallas = backend == "pallas4"
@@ -174,6 +173,28 @@ def _run_seq(
             y_own = y[..., :C].at[..., :H].add(tail)
             x_div = jnp.where(mask_loc, y_own / env_loc, jnp.zeros_like(y_own))
             if P_amt:
+                if cfg.jnp_pad_mode == "wrap":
+                    # Circular: the left pad copies the LAST P_amt real
+                    # samples (they live on shard n-1) and the right pad the
+                    # FIRST P_amt real samples (shard 0) — one end-to-end
+                    # ppermute pair per iteration (reference pad semantics:
+                    # methods.py:81 F.pad mode='circular').
+                    tail_src = x_div[..., e_local - P_amt + 1 : e_local + 1]
+                    head_src = x_div[..., P_amt : 2 * P_amt]
+                    if n == 1:
+                        recv_left, recv_right = tail_src, head_src
+                    else:
+                        send = jnp.where(idx == n - 1, tail_src, head_src)
+                        recv = jax.lax.ppermute(
+                            send, "seq", [(n - 1, 0), (0, n - 1)]
+                        )
+                        recv_left = recv_right = recv
+                    x_left = x_div.at[..., :P_amt].set(recv_left)
+                    x_div = jnp.where(idx == 0, x_left, x_div)
+                    x_right = x_div.at[
+                        ..., e_local + 1 : e_local + 1 + P_amt
+                    ].set(recv_right)
+                    return jnp.where(idx == n - 1, x_right, x_div)
                 if cfg.jnp_pad_mode == "reflect":
                     left_vals = x_div[..., 2 * P_amt : P_amt : -1]
                     right_vals = x_div[..., e_local - P_amt : e_local][..., ::-1]

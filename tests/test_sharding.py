@@ -131,15 +131,30 @@ def test_seq_parallel_matches_unsharded(center, use_hann):
     np.testing.assert_allclose(out, ref, atol=1e-10)
 
 
-@pytest.mark.parametrize("pad_mode", ["reflect", "constant", "replicate"])
-def test_seq_parallel_pad_modes(pad_mode):
+@pytest.mark.parametrize("algo", ["gl", "admm"])
+@pytest.mark.parametrize(
+    "pad_mode", ["reflect", "constant", "replicate", "circular"]
+)
+def test_seq_parallel_pad_modes(pad_mode, algo):
     mesh = make_mesh(data=1, seq=4)
     x = make_signal((22050,))
     spec = np.abs(torch_stft(x, 512, pad_mode=pad_mode))
-    ref = np.asarray(
-        griffin_lim(spec, max_iter=8, tol=0.0, verbose=False, pad_mode=pad_mode)
-    )
-    out = np.asarray(griffin_lim_seq(spec, mesh, max_iter=8, pad_mode=pad_mode))
+    if algo == "admm":
+        ref = np.asarray(
+            ADMM(spec, max_iter=8, tol=0.0, verbose=False, pad_mode=pad_mode)
+        )
+        out = np.asarray(
+            admm_seq(spec, mesh, max_iter=8, tol=0.0, pad_mode=pad_mode)
+        )
+    else:
+        ref = np.asarray(
+            griffin_lim(
+                spec, max_iter=8, tol=0.0, verbose=False, pad_mode=pad_mode
+            )
+        )
+        out = np.asarray(
+            griffin_lim_seq(spec, mesh, max_iter=8, pad_mode=pad_mode)
+        )
     np.testing.assert_allclose(out, ref, atol=1e-10)
 
 
