@@ -111,20 +111,22 @@ def mel_to_linear(
     librosa-``feature.inverse``-shaped convenience the serving guide pairs
     with Griffin-Lim.
     """
-    fb = jnp.asarray(
-        mel_filterbank(
-            n_fft, int(mel.shape[-2]), sample_rate, fmin=fmin, fmax=fmax,
-            htk=htk, norm=norm, dtype=str(np.dtype(mel.dtype)),
-        )
+    fb_np = mel_filterbank(
+        n_fft, int(mel.shape[-2]), sample_rate, fmin=fmin, fmax=fmax,
+        htk=htk, norm=norm, dtype=str(np.dtype(mel.dtype)),
     )  # (F, M)
+    fb = jnp.asarray(fb_np)
     m_tm = jnp.swapaxes(mel, -1, -2)  # (..., T, M)
 
     # Lipschitz constant of 0.5*||x fb - m||^2 in x: largest eigenvalue of
     # fb fbᵀ — a tiny (F, F) host-side power iteration would do, but the
     # spectral norm bound ||fb||_1 ||fb||_inf is cheap, static, and within
-    # ~2x for banded triangular filterbanks.
+    # ~2x for banded triangular filterbanks.  Computed on the NUMPY table:
+    # under jit/shard_map the jnp constant is a lifted tracer (shard_map
+    # hoists closure consts to replicated operands), so np.linalg on ``fb``
+    # would raise TracerArrayConversionError.
     lip = float(
-        np.linalg.norm(np.asarray(fb), 1) * np.linalg.norm(np.asarray(fb), np.inf)
+        np.linalg.norm(fb_np, 1) * np.linalg.norm(fb_np, np.inf)
     )
     step = jnp.asarray(1.0 / lip, m_tm.dtype)
 
