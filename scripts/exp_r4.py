@@ -1,0 +1,223 @@
+"""Round-4 perf captures on the lane-engine kernels (one real chip).
+
+Sections (pick with --only SECTION):
+  blockt   — whole-run GL north star: block_t sweep on the lane kernel
+  admm     — whole-run ADMM north star marginal (lane vs old engine)
+  rtisi    — RTISI frames_per_launch sweep, single-stream + B=16
+  batch    — GL batched occupancy B in {1,4,16,64} at n_fft 2048 (pack auto)
+  lbfgs    — L-BFGS log-mel marginal + batched-clip (vmap) throughput
+
+Methodology: interleaved variants, marginal rates by differencing two
+iteration counts (readback-forced), medians over rounds — see
+.claude/skills/verify/SKILL.md "Benchmarking methodology".
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bench_common import readback  # noqa: E402
+from specinv_tpu.config import canonicalize  # noqa: E402
+
+SR = 22050
+
+
+def interleave(variants, rounds=5, lo=100, hi=400):
+    for f in variants.values():
+        for it in (lo, hi):
+            readback(f(it))
+    marg = {n: [] for n in variants}
+    for r in range(rounds):
+        for n, f in variants.items():
+            t0 = time.perf_counter(); readback(f(lo)); a = time.perf_counter() - t0
+            t0 = time.perf_counter(); readback(f(hi)); b = time.perf_counter() - t0
+            marg[n].append((b - a) / (hi - lo) * 1e6)
+        print(f"# round {r} done", flush=True)
+    out = {}
+    for n, ms in marg.items():
+        ms = sorted(ms)
+        out[n] = round(ms[len(ms) // 2], 2)
+        print(json.dumps({"variant": n, "us_per_iter": out[n],
+                          "all": [round(m, 1) for m in ms]}), flush=True)
+    return out
+
+
+def gl_inputs(seconds=10, n_fft=2048, B=1, seed=7):
+    from specinv_tpu.models._pallas_driver import make_geometry4, make_inv_env
+    from specinv_tpu.ops import stft as stft_ops
+    from specinv_tpu.ops.pallas import fft4
+
+    rng = np.random.default_rng(seed)
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    cfg, w = canonicalize(
+        n_fft // 2 + 1, np.float32, window=win, pad_mode="constant")
+    wj = jnp.asarray(w)
+    clip = rng.standard_normal((B, SR * seconds)).astype(np.float32)
+    spec = stft_ops.stft(jnp.asarray(clip), cfg, wj)
+    mag_tm = jnp.abs(spec).astype(jnp.float32)
+    T = mag_tm.shape[1]
+    geo = make_geometry4(cfg, T, block_t=None)
+    inv_env = make_inv_env(cfg, wj, T, geo).astype(jnp.float32)
+    tgt_full = fft4.extend_hermitian_mag(mag_tm, n_fft)
+    pad_rows = lambda a: jnp.pad(  # noqa: E731
+        a, ((0, 0), (0, geo.t_pad - T), (0, 0)))
+    target_p = fft4.to_permuted(pad_rows(tgt_full), n_fft)
+    x_pad = jnp.asarray(
+        rng.standard_normal((B, geo.lx)).astype(np.float32) * 0.01)
+    return cfg, wj, geo, T, target_p, x_pad, inv_env
+
+
+def sec_blockt(rounds):
+    from specinv_tpu.ops.pallas.gl_fullrun4 import fused_gl_run
+
+    cfg, wj, geo, T, tgt, x_pad, inv_env = gl_inputs()
+    lr = jnp.float32(0.99 / 1.99)
+    pre_re, pre_im = tgt, tgt * 0.25
+    variants = {}
+    for bt in (32, 64, 112, 224, 448):
+        t_pad = -(-T // bt) * bt
+        if t_pad != geo.t_pad:
+            # different padded geometry: rebuild inputs for a fair
+            # per-(true)-iteration comparison is NOT possible without
+            # changing work; report padded-row count instead
+            continue
+        variants[f"bt{bt}"] = functools.partial(
+            lambda it, bt=bt: fused_gl_run(
+                x_pad, pre_re, pre_im, tgt, wj, inv_env, lr, cfg, geo.e,
+                n_iters=it, block_t=bt, emit_state=True, with_mag=False)[0]
+        )
+    interleave(variants, rounds)
+
+
+def sec_admm(rounds):
+    from specinv_tpu.ops.pallas.admm_fused4 import fused_admm_run
+
+    cfg, wj, geo, T, tgt, x_pad, inv_env = gl_inputs()
+    rho = jnp.float32(0.1)
+    variants = {}
+    for env, name in (("1", "lane"), ("0", "old")):
+        def f(it, env=env):
+            os.environ["SPECINV_FULLRUN_LANE"] = env
+            return fused_admm_run(
+                x_pad, tgt, tgt * 0.25, tgt, wj, inv_env, rho, cfg, T,
+                geo.e, n_iters=it, block_t=geo.block_t,
+                emit_state=True, with_mag=False)[0]
+        variants[name] = f
+    interleave(variants, rounds)
+
+
+def sec_rtisi(rounds):
+    from specinv_tpu.models.rtisi_la import RTISI_LA
+
+    n_fft, la, mi = 2048, 3, 25
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    rng = np.random.default_rng(3)
+    for B in (1, 16):
+        clip = rng.standard_normal((B, SR * 2)).astype(np.float32)
+        import torch
+        mag = torch.stft(
+            torch.from_numpy(clip), n_fft, window=torch.from_numpy(win),
+            return_complex=True).abs().numpy().astype(np.float32)
+        T = mag.shape[-1]
+        print(f"# B={B} frames/clip={T}", flush=True)
+        variants = {}
+        for kpl in (1, 4, 8, 16):
+            variants[f"B{B}_kpl{kpl}"] = functools.partial(
+                lambda frames, kpl=kpl: RTISI_LA(
+                    mag[..., :frames], look_ahead=la, max_iter=mi,
+                    verbose=False, backend="pallas4", window=win,
+                    frames_per_launch=kpl),
+            )
+        # frames-based marginal: lo/hi frame counts
+        lo, hi = 32, T
+        for f in variants.values():
+            for n in (lo, hi):
+                readback(f(n))
+        marg = {n: [] for n in variants}
+        for r in range(rounds):
+            for n, f in variants.items():
+                t0 = time.perf_counter(); readback(f(lo)); a = time.perf_counter() - t0
+                t0 = time.perf_counter(); readback(f(hi)); b = time.perf_counter() - t0
+                marg[n].append((hi - lo) * B / max(b - a, 1e-9))
+            print(f"# round {r} done", flush=True)
+        for n, ms in marg.items():
+            ms = sorted(ms)
+            print(json.dumps({
+                "variant": n,
+                "frames_per_sec": round(ms[len(ms) // 2], 1),
+                "all": [round(m, 1) for m in ms]}), flush=True)
+
+
+def sec_batch(rounds):
+    from specinv_tpu.models.griffin_lim import griffin_lim
+
+    n_fft = 2048
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    rng = np.random.default_rng(3)
+    import torch
+    for B in (1, 4, 16, 64):
+        clip = rng.standard_normal((B, SR * 2)).astype(np.float32)
+        mag = torch.stft(
+            torch.from_numpy(clip), n_fft, window=torch.from_numpy(win),
+            return_complex=True).abs().numpy().astype(np.float32)
+        variants = {
+            f"B{B}": lambda it: griffin_lim(
+                mag, max_iter=it, tol=0.0, verbose=False, window=win,
+                backend="pallas4"),
+        }
+        out = interleave(variants, rounds, lo=50, hi=200)
+        us = out[f"B{B}"]
+        print(json.dumps({
+            "B": B, "clip_iters_per_sec": round(B * 1e6 / us, 1)}),
+            flush=True)
+
+
+def sec_lbfgs(rounds):
+    from specinv_tpu.models.lbfgs import L_BFGS
+    from specinv_tpu.ops.mel import log_mel_transform
+
+    n_fft, n_mels = 2048, 128
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((SR * 10,)).astype(np.float32) * 0.1
+    fn = log_mel_transform(n_fft=n_fft, n_mels=n_mels, sample_rate=SR)
+    tgt = fn(jnp.asarray(x))
+    variants = {
+        "lbfgs": lambda it: L_BFGS(
+            tgt, fn, [x.size], outer_max_iter=it, max_iter=10, tol=0.0,
+            verbose=False),
+    }
+    out = interleave(variants, rounds, lo=3, hi=12)
+    us = out["lbfgs"]
+    print(json.dumps({
+        "outer_it_per_sec": round(1e6 / us, 2),
+        "inner_it_per_sec": round(10 * 1e6 / us, 1)}), flush=True)
+
+
+def main():
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    rounds = 5
+    if "--rounds" in sys.argv:
+        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
+    for name, fn in (
+        ("blockt", sec_blockt), ("admm", sec_admm), ("rtisi", sec_rtisi),
+        ("batch", sec_batch), ("lbfgs", sec_lbfgs),
+    ):
+        if only and name != only:
+            continue
+        print(f"## section {name}", flush=True)
+        fn(rounds)
+
+
+if __name__ == "__main__":
+    main()

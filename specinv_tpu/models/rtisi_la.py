@@ -247,6 +247,120 @@ def _kernel_frame_step(
     return (keeped, update_fm, new_pre_re, new_pre_im), committed
 
 
+# Output-frame steps folded into one fused launch (the multi-frame kernel).
+# 8 launches measured within noise of 4 and 16 on the flagship config; the
+# per-launch VMEM grows only with the target window (k + la frame rows).
+_FRAMES_PER_LAUNCH = 8
+
+
+def _multi_twin(
+    keep_fm, upd, p_re, p_im, tgt_steps, win, awf, awr, sw, lr_,
+    cfg: STFTConfig, B: int, num_keep: int, max_iter: int, asym: bool,
+    precision,
+):
+    """XLA re-statement of :func:`..ops.pallas.rtisi_fused4.refine_run4_multi`
+    — the backward rule for its custom_vjp.  Chains ``k`` frame steps:
+    committed-context OLA, the per-step refinement loop
+    (:func:`._pallas_driver.rtisi_xla_twin4`), commit + slide."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    k, R, _ = tgt_steps.shape
+    n_frames = R // B
+    m = n_fft // 128
+    L = (n_frames - 1) * hop + n_fft
+    coms = []
+    for s in range(k):
+        if num_keep:
+            keeped_bm = jnp.swapaxes(
+                keep_fm.reshape(num_keep, B, n_fft), 0, 1
+            )
+            ola = overlap_add(keeped_bm * sw, hop)
+            tail = ola[..., num_keep * hop :]
+            x_keep = jnp.pad(tail, ((0, 0), (0, L - tail.shape[-1])))
+        else:
+            x_keep = jnp.zeros((B, L), jnp.float32)
+        upd, s_re, s_im = _driver.rtisi_xla_twin4(
+            x_keep, upd, p_re.reshape(R, m, 128), p_im.reshape(R, m, 128),
+            tgt_steps[s].reshape(R, m, 128), win, awf, awr, sw, lr_,
+            cfg, max_iter=max_iter, asym=asym, precision=precision,
+        )
+        p_re = s_re.reshape(R, n_fft)
+        p_im = s_im.reshape(R, n_fft)
+        committed = upd[:B]
+        coms.append(committed)
+        if num_keep:
+            keep_fm = jnp.concatenate([keep_fm[B:], committed], axis=0)
+        upd = jnp.concatenate([upd[B:], jnp.zeros_like(upd[:B])], axis=0)
+    return jnp.stack(coms), keep_fm, upd, p_re, p_im
+
+
+def _kernel_multi_steps(
+    keep_fm: jnp.ndarray,     # (max(num_keep,1)*B, n_fft) frame-major
+    update_fm: jnp.ndarray,   # (R, n_fft) frame-major in-flight frames
+    pre_re: jnp.ndarray,      # (R, n_fft) lane-flat momentum
+    pre_im: jnp.ndarray,
+    tgt_steps: jnp.ndarray,   # (k, R, n_fft) lane-flat target, step-major
+    window: jnp.ndarray,
+    lr,
+    cfg: STFTConfig,
+    look_ahead: int,
+    asymmetric_window: bool,
+    max_iter: int,
+    interpret: bool = False,
+    precision=None,
+):
+    """``k`` RTISI-LA output-frame steps in ONE fused launch
+    (:func:`..ops.pallas.rtisi_fused4.refine_run4_multi`): the per-frame
+    XLA glue of :func:`_kernel_frame_step` — committed-context OLA, commit/
+    slide concats, state through HBM — moves into the kernel and is paid
+    once per ``k`` frames.  Same math as ``k`` chained frame steps."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    B = tgt_steps.shape[1] // (look_ahead + 1)
+    num_keep = (n_fft - 1) // hop
+    synth_coeff = hop / jnp.sum(window * window)
+    synth_window = window * synth_coeff
+    if asymmetric_window:
+        aw1, aw2 = _asym_windows(window, hop, num_keep, synth_coeff)
+    else:
+        aw1 = aw2 = window
+    prec = precision if precision is not None else jax.lax.Precision.HIGH
+    twin_precision = (
+        prec if isinstance(prec, jax.lax.Precision)
+        else jax.lax.Precision.HIGHEST
+    )
+
+    @jax.custom_vjp
+    def multi(kp, up, pr, pi, tg, win, awf, awr, sw, lr_):
+        return tuple(
+            rtisi_fused4.refine_run4_multi(
+                kp, up, pr, pi, tg, win, awf, awr, sw, lr_, cfg,
+                B=B, num_keep=num_keep, max_iter=max_iter,
+                asym=asymmetric_window, interpret=interpret, precision=prec,
+            )
+        )
+
+    def multi_fwd(*args):
+        return multi(*args), args
+
+    def multi_bwd(residuals, cotangents):
+        def replay(kp, up, pr, pi, tg, win, awf, awr, sw, lr_):
+            return _multi_twin(
+                kp, up, pr, pi, tg, win, awf, awr, sw, lr_, cfg,
+                B=B, num_keep=num_keep, max_iter=max_iter,
+                asym=asymmetric_window, precision=twin_precision,
+            )
+
+        _, vjp = jax.vjp(replay, *residuals)
+        return vjp(tuple(cotangents))
+
+    multi.defvjp(multi_fwd, multi_bwd)
+
+    com, keep_fm, update_fm, pre_re, pre_im = multi(
+        keep_fm, update_fm, pre_re, pre_im, tgt_steps,
+        window, aw1, aw2, synth_window, lr,
+    )
+    return (keep_fm, update_fm, pre_re, pre_im), com
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -260,6 +374,7 @@ def _kernel_frame_step(
         "precision",
         "remat",
         "chunk_rows",
+        "frames_per_launch",
     ),
 )
 def run_tm(
@@ -276,6 +391,7 @@ def run_tm(
     precision=None,
     remat: bool = False,
     chunk_rows: int | None = None,
+    frames_per_launch: int | None = None,
 ) -> jnp.ndarray:
     """Time-major RTISI-LA: magnitude (B, T, F) -> waveform (B, L).
 
@@ -309,6 +425,7 @@ def run_tm(
                 asymmetric_window=asymmetric_window, max_iter=max_iter,
                 verbose=False, backend=backend, interpret=interpret,
                 precision=precision, remat=remat, chunk_rows=chunk_rows,
+                frames_per_launch=frames_per_launch,
             )
             if verbose:
                 jax.debug.callback(
@@ -361,44 +478,101 @@ def run_tm(
     if use_kernel:
         m = n_fft // 128
         R = (la + 1) * B
-        # Hermitian-extend + permute the whole padded target ONCE, frame-
-        # major-sliceable: (T', B, m, 128).
-        tgt_full = fft4.extend_hermitian_mag(
-            target_pad.astype(jnp.float32), n_fft
-        )
-        tgt_fm = jnp.swapaxes(fft4.to_permuted(tgt_full, n_fft), 0, 1)
+        total = steps + la
+        kpl = _FRAMES_PER_LAUNCH if frames_per_launch is None else frames_per_launch
+        kpl = max(1, min(kpl, total))
         update0_fm = jnp.concatenate(
             [jnp.zeros((la * B, n_fft), jnp.float32),
              first[:, 0].astype(jnp.float32)], axis=0
         )
-        state0k = (
-            jnp.zeros((B, num_keep, n_fft), jnp.float32),
-            update0_fm,
-            jnp.zeros((R, m, 128), jnp.float32),
-            jnp.zeros((R, m, 128), jnp.float32),
-        )
-
-        def frame_step_k(state, sl):
-            return _kernel_frame_step(
-                *state, sl, window, lr, cfg,
-                look_ahead=la, asymmetric_window=asymmetric_window,
-                max_iter=max_iter, interpret=interpret, precision=precision,
+        if kpl > 1:
+            # Multi-frame launches: kpl output-frame steps per kernel call
+            # (commit/slide + committed-context OLA in VMEM); per-launch XLA
+            # glue = one dynamic slice + the step-major target gather.
+            n_launch = -(-total // kpl)
+            extra = n_launch * kpl - total  # zero-magnitude pad steps (inert)
+            tgt_full = fft4.extend_hermitian_mag(
+                target_pad.astype(jnp.float32), n_fft
+            )
+            tgt_lane = jnp.swapaxes(
+                fft4.to_permuted(tgt_full, n_fft).reshape(B, -1, n_fft), 0, 1
+            )  # (T', B, n_fft) lane-flat
+            if extra:
+                tgt_lane = jnp.pad(tgt_lane, ((0, extra), (0, 0), (0, 0)))
+            Bk = max(num_keep, 1) * B
+            state0m = (
+                jnp.zeros((Bk, n_fft), jnp.float32),
+                update0_fm,
+                jnp.zeros((R, n_fft), jnp.float32),
+                jnp.zeros((R, n_fft), jnp.float32),
             )
 
-        if remat:
-            # Save only the per-frame carry under reverse mode; the frame
-            # step's refinements are recomputed (see runner.iterate remat).
-            frame_step_k = jax.checkpoint(frame_step_k)
+            def launch_m(state, blk):
+                return _kernel_multi_steps(
+                    *state, blk, window, lr, cfg,
+                    look_ahead=la, asymmetric_window=asymmetric_window,
+                    max_iter=max_iter, interpret=interpret,
+                    precision=precision,
+                )
 
-        def outer_k(state, i):
-            sl = jax.lax.dynamic_slice_in_dim(tgt_fm, i, la + 1, axis=0)
-            new_state, committed = frame_step_k(state, sl.reshape(R, m, 128))
-            if verbose:
-                report(i)
-            return new_state, committed
+            if remat:
+                launch_m = jax.checkpoint(launch_m)
 
-        _, frames_out = jax.lax.scan(outer_k, state0k, jnp.arange(steps + la))
-        frames_out = frames_out.astype(target_tm.dtype)
+            def outer_m(state, i0):
+                win = jax.lax.dynamic_slice_in_dim(
+                    tgt_lane, i0, kpl + la, axis=0
+                )
+                blk = jnp.stack(
+                    [win[s : s + la + 1].reshape(R, n_fft) for s in range(kpl)]
+                )
+                new_state, com = launch_m(state, blk)  # com (kpl, B, n_fft)
+                if verbose:
+                    report(i0 + kpl - 1)
+                return new_state, com
+
+            _, out = jax.lax.scan(
+                outer_m, state0m, jnp.arange(n_launch) * kpl
+            )
+            frames_out = out.reshape(n_launch * kpl, B, n_fft)[:total].astype(
+                target_tm.dtype
+            )
+        else:
+            # Per-frame launches (kpl == 1): permuted-plane state.
+            tgt_full = fft4.extend_hermitian_mag(
+                target_pad.astype(jnp.float32), n_fft
+            )
+            tgt_fm = jnp.swapaxes(fft4.to_permuted(tgt_full, n_fft), 0, 1)
+            state0k = (
+                jnp.zeros((B, num_keep, n_fft), jnp.float32),
+                update0_fm,
+                jnp.zeros((R, m, 128), jnp.float32),
+                jnp.zeros((R, m, 128), jnp.float32),
+            )
+
+            def frame_step_k(state, sl):
+                return _kernel_frame_step(
+                    *state, sl, window, lr, cfg,
+                    look_ahead=la, asymmetric_window=asymmetric_window,
+                    max_iter=max_iter, interpret=interpret,
+                    precision=precision,
+                )
+
+            if remat:
+                # Save only the per-frame carry under reverse mode; the frame
+                # step's refinements are recomputed (see runner.iterate remat).
+                frame_step_k = jax.checkpoint(frame_step_k)
+
+            def outer_k(state, i):
+                sl = jax.lax.dynamic_slice_in_dim(tgt_fm, i, la + 1, axis=0)
+                new_state, committed = frame_step_k(
+                    state, sl.reshape(R, m, 128)
+                )
+                if verbose:
+                    report(i)
+                return new_state, committed
+
+            _, frames_out = jax.lax.scan(outer_k, state0k, jnp.arange(total))
+            frames_out = frames_out.astype(target_tm.dtype)
     else:
         update0 = jnp.concatenate(
             [jnp.zeros((B, la, n_fft), first.dtype), first], axis=1
@@ -513,6 +687,7 @@ def RTISI_LA(
     precision=None,
     remat: bool = False,
     chunk_rows: int | None = None,
+    frames_per_launch: int | None = None,
     **stft_kwargs,
 ):
     """Reference-parity entry point (methods.py:273-412).
@@ -529,7 +704,10 @@ def RTISI_LA(
     library default HIGH).  ``chunk_rows`` overrides the kernel's per-launch
     DFT-row bound (default :data:`_KERNEL_CHUNK_ROWS`; batches whose
     ``B * (look_ahead + 1)`` exceeds it run as row-bounded sequential chunks
-    — bitwise-invariant, tuning-only).
+    — bitwise-invariant, tuning-only).  ``frames_per_launch`` sets how many
+    output-frame steps each fused launch folds together (commit/slide and
+    the committed-context OLA run in VMEM between them; default
+    :data:`_FRAMES_PER_LAUNCH`, ``1`` = one launch per frame).
     """
     assert max_iter > 0 and alpha >= 0
     spec = common_as_array(spec)
@@ -547,6 +725,17 @@ def RTISI_LA(
                 "chunk_rows tunes the fused-kernel launch bound and applies "
                 f"to backend='pallas4' only (resolved backend: {backend!r})"
             )
+    if frames_per_launch is not None:
+        if frames_per_launch < 1:
+            raise ValueError(
+                f"frames_per_launch must be >= 1, got {frames_per_launch}"
+            )
+        if backend != "pallas4":
+            raise ValueError(
+                "frames_per_launch tunes the fused-kernel step folding and "
+                f"applies to backend='pallas4' only (resolved backend: "
+                f"{backend!r})"
+            )
     lr = jnp.asarray(alpha / (1 + alpha), dtype=spec_tm.dtype)
     x = run_tm(
         spec_tm,
@@ -562,6 +751,7 @@ def RTISI_LA(
         precision=precision,
         remat=remat,
         chunk_rows=chunk_rows,
+        frames_per_launch=frames_per_launch,
     )
     return restore_output(x, was_2d)
 
@@ -614,19 +804,34 @@ def _kernel_streamer_step(
     pre_re_bm, pre_im_bm = state.pre_spec
 
     def one(keeped, update, p_re, p_im, tgt):
+        # One k=1 launch of the MULTI-frame kernel — the same per-step ops
+        # the offline path runs (in-kernel committed-context OLA and
+        # commit/slide), so the streamer stays bit-identical to offline
+        # regardless of the offline frames_per_launch folding.
         b = keeped.shape[0]
         r = (la + 1) * b
+        nk = (n_fft - 1) // cfg.hop_length
         update_fm = jnp.swapaxes(update, 0, 1).reshape(r, n_fft)
         tgt_full = fft4.extend_hermitian_mag(
             jnp.swapaxes(tgt, 0, 1).astype(jnp.float32), n_fft
         )
-        tgt_fm = fft4.to_permuted(tgt_full, n_fft).reshape(r, m, 128)
-        pre_re = jnp.swapaxes(p_re, 0, 1).reshape(r, m, 128)
-        pre_im = jnp.swapaxes(p_im, 0, 1).reshape(r, m, 128)
-        (keeped2, update_fm2, new_re, new_im), committed = _kernel_frame_step(
-            keeped, update_fm, pre_re, pre_im, tgt_fm, window, lr, cfg,
+        tgt_steps = fft4.to_permuted(tgt_full, n_fft).reshape(1, r, n_fft)
+        pre_re = jnp.swapaxes(p_re, 0, 1).reshape(r, n_fft)
+        pre_im = jnp.swapaxes(p_im, 0, 1).reshape(r, n_fft)
+        if nk:
+            keep_fm = jnp.swapaxes(keeped, 0, 1).reshape(nk * b, n_fft)
+        else:
+            keep_fm = jnp.zeros((b, n_fft), jnp.float32)
+        (keep_fm2, update_fm2, new_re, new_im), com = _kernel_multi_steps(
+            keep_fm.astype(jnp.float32), update_fm.astype(jnp.float32),
+            pre_re, pre_im, tgt_steps, window, lr, cfg,
             look_ahead=la, asymmetric_window=asymmetric_window,
             max_iter=max_iter, interpret=interpret, precision=precision,
+        )
+        committed = com[0]
+        keeped2 = (
+            jnp.swapaxes(keep_fm2.reshape(nk, b, n_fft), 0, 1)
+            if nk else keeped
         )
         update2 = jnp.swapaxes(update_fm2.reshape(la + 1, b, n_fft), 0, 1)
         nr = jnp.swapaxes(new_re.reshape(la + 1, b, m, 128), 0, 1)

@@ -422,6 +422,18 @@ def fused_admm_run(
     ``pack`` folds that many clips into each grid step (bitwise invariant;
     see gl_fullrun4.fused_gl_run / choose_pack).
     """
+    from .fullrun_lane import fused_run_lane
+    from .fullrun_lane import supports as lane_supports
+
+    if lane_supports(cfg) and block_t >= cfg.n_fft // cfg.hop_length - 1:
+        # lane-major + hop-row-slab engine (see fullrun_lane module docstring)
+        return fused_run_lane(
+            "admm", x_pad, Y_re, Y_im, target, window, inv_env, rho, cfg,
+            e, n_iters, valid_t=valid_t, block_t=block_t,
+            interpret=interpret, precision=precision,
+            emit_state=emit_state, with_mag=with_mag, pack=pack,
+        )
+
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
     assert lanes == LANE and m == n_fft // LANE and t_pad % block_t == 0

@@ -68,6 +68,10 @@ def fourstep_tables(n_fft: int, normalized: bool):
         wm_re=wm.real.copy(), wm_im=wm.imag.copy(),
         iwm_re=wm.real.copy(), iwm_im=(-wm.imag).copy(),
         twt_re=f32(twt.real), twt_im=f32(twt.imag),
+        # lane-flat twiddles for the lane-major kernels: (1, m*128), lane
+        # index 128*d + b — the (m, 128) table flattened row-major
+        twtf_re=f32(twt.real.reshape(1, m * LANE)),
+        twtf_im=f32(twt.imag.reshape(1, m * LANE)),
         w128_re=f32(w128.real * fscale), w128_im=f32(w128.imag * fscale),
         w128_sum=f32((w128.real + w128.imag) * fscale),   # Karatsuba 3rd op
         # inverse: conj, inverse scale on the W128 stage; the inverse twiddle
@@ -80,6 +84,12 @@ def fourstep_tables(n_fft: int, normalized: bool):
 # tables that live on-device (the rest are compile-time literals)
 DEVICE_TABLE_KEYS = (
     "twt_re", "twt_im", "w128_re", "w128_im", "w128_sum",
+    "iw128_re", "iw128_im", "iw128_sum",
+)
+
+# device tables for the lane-major kernels (flat twiddles instead of (m, 128))
+LANE_TABLE_KEYS = (
+    "twtf_re", "twtf_im", "w128_re", "w128_im", "w128_sum",
     "iw128_re", "iw128_im", "iw128_sum",
 )
 
@@ -289,6 +299,107 @@ def inv4_real(p_re, p_im, t, scheme):
     else:
         o = _small_dft_rows(r_re, t["iwm_re"], neg=(r_im, t["iwm_im"]))
     return o.reshape(bt, m * LANE)                           # n = 128a + b
+
+
+# ---------------------------------------------------------------------------
+# Lane-major four-step (whole-run lane kernels, see fullrun_lane.py).
+#
+# The (bt, m, 128) layout's m-axis slices each cost a full sublane relayout
+# in Mosaic (round-4 attribution: ~30 us/iter of the north star).  Here
+# frames and spectrum stay (bt, n_fft) LANE-major: the radix recursion's
+# leaves are 128-aligned lane slices (free vreg column selects), and the
+# spectrum's flat lane index is 128*d + e — exactly ``reshape(-1)`` of the
+# permuted (m, 128) layout, so drivers convert with a free reshape.  The
+# m-point stage is always the radix expression tree (same op order as
+# _m_dft_fwd — bitwise-identical values, different physical layout).
+
+
+def _cat_lane(parts, bt, dtype):
+    cols = [jnp.zeros((bt, LANE), dtype) if p is None else p for p in parts]
+    return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+
+
+def fwd4_lane(frames_nat, t, scheme, leaf_dots: bool = True):
+    """Forward four-step, lane-major: natural frames (bt, n_fft) f32 ->
+    flat-permuted spectrum (s_re, s_im), each (bt, n_fft), lane 128*d + e.
+
+    ``leaf_dots``: run the Karatsuba W128 dots per 128-lane leaf
+    ((bt, 128) @ (128, 128) x m) instead of one merged (bt*m, 128) dot —
+    the merge costs a (bt, m*128) -> (bt*m, 128) relayout each direction
+    that measures ~2x the whole kernel's residue at m=16.
+    """
+    bt, n_fft = frames_nat.shape
+    m = n_fft // LANE
+    ys = _clist_fft(
+        [(frames_nat[:, a * LANE : (a + 1) * LANE], None) for a in range(m)],
+        inverse=False,
+    )
+    a_re = _cat_lane([y[0] for y in ys], bt, frames_nat.dtype)
+    a_im = _cat_lane([y[1] for y in ys], bt, frames_nat.dtype)
+    t_re = a_re * t["twtf_re"] - a_im * t["twtf_im"]
+    t_im = a_re * t["twtf_im"] + a_im * t["twtf_re"]
+    # Sub-8-row dots are merged regardless: XLA:CPU's matmul is row-UNstable
+    # below M=8 (same rows give 1-ulp-different results at different M, which
+    # breaks batch-chunking bitwise invariance in interpret mode), and tiny
+    # leaf dots have no relayout to save anyway.
+    if leaf_dots and bt >= 8:
+        pr, pi = [], []
+        for d in range(m):
+            tr = t_re[:, d * LANE : (d + 1) * LANE]
+            ti = t_im[:, d * LANE : (d + 1) * LANE]
+            d1 = _dot2(tr, t["w128_re"], scheme)
+            d2 = _dot2(ti, t["w128_im"], scheme)
+            d3 = _dot2(tr + ti, t["w128_sum"], scheme)
+            pr.append(d1 - d2)
+            pi.append(d3 - d1 - d2)
+        return (
+            _cat_lane(pr, bt, frames_nat.dtype),
+            _cat_lane(pi, bt, frames_nat.dtype),
+        )
+    tr = t_re.reshape(bt * m, LANE)
+    ti = t_im.reshape(bt * m, LANE)
+    d1 = _dot2(tr, t["w128_re"], scheme)
+    d2 = _dot2(ti, t["w128_im"], scheme)
+    d3 = _dot2(tr + ti, t["w128_sum"], scheme)
+    return (d1 - d2).reshape(bt, n_fft), (d3 - d1 - d2).reshape(bt, n_fft)
+
+
+def inv4_real_lane(p_re, p_im, t, scheme, leaf_dots: bool = True):
+    """Inverse four-step, lane-major, real part only: flat-permuted
+    (bt, n_fft) spectrum -> natural real frames (bt, n_fft)."""
+    bt, n_fft = p_re.shape
+    m = n_fft // LANE
+    if leaf_dots and bt >= 8:  # sub-8-row dots merge (see fwd4_lane)
+        qr, qi = [], []
+        for d in range(m):
+            pr = p_re[:, d * LANE : (d + 1) * LANE]
+            pi = p_im[:, d * LANE : (d + 1) * LANE]
+            d1 = _dot2(pr, t["iw128_re"], scheme)
+            d2 = _dot2(pi, t["iw128_im"], scheme)
+            d3 = _dot2(pr + pi, t["iw128_sum"], scheme)
+            qr.append(d1 - d2)
+            qi.append(d3 - d1 - d2)
+        q_re = _cat_lane(qr, bt, p_re.dtype)
+        q_im = _cat_lane(qi, bt, p_re.dtype)
+    else:
+        pr = p_re.reshape(bt * m, LANE)
+        pi = p_im.reshape(bt * m, LANE)
+        d1 = _dot2(pr, t["iw128_re"], scheme)
+        d2 = _dot2(pi, t["iw128_im"], scheme)
+        d3 = _dot2(pr + pi, t["iw128_sum"], scheme)
+        q_re = (d1 - d2).reshape(bt, n_fft)
+        q_im = (d3 - d1 - d2).reshape(bt, n_fft)
+    r_re = q_re * t["twtf_re"] + q_im * t["twtf_im"]       # conj twiddle
+    r_im = -q_re * t["twtf_im"] + q_im * t["twtf_re"]
+    ys = _clist_fft(
+        [
+            (r_re[:, d * LANE : (d + 1) * LANE],
+             r_im[:, d * LANE : (d + 1) * LANE])
+            for d in range(m)
+        ],
+        inverse=True,
+    )
+    return _cat_lane([y[0] for y in ys], bt, p_re.dtype)
 
 
 def tables_as_jnp(n_fft: int, normalized: bool):

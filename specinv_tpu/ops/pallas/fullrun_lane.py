@@ -1,0 +1,564 @@
+"""Whole-run fused GL/ADMM — lane-major spectrum + 2D hop-row signal slab.
+
+Drop-in engine behind :func:`.gl_fullrun4.fused_gl_run` and
+:func:`.admm_fused4.fused_admm_run` (same grid = (B, n_iters, n_t), same
+VMEM-resident state, same feature set: clip packing, t-blocked plane
+streaming, emit_state/with_mag, all four pad modes) with the two relayout
+hotspots of the (m, 128)-plane design removed.  Round-4 attribution
+(scripts/exp_fullrun_attrib.py) decomposed the old ~70 us/iter north star
+into OLA ~35.5 us + m-stage ~29.6 us, both RELAYOUT costs, not math:
+
+  * the m-point stage sliced (bt, m, 128) arrays along the SUBLANE m axis
+    (a stride-m sublane gather per slice) and concatenated m such slices
+    back — two full relayouts per direction;
+  * overlap-add read-modify-wrote the flat (1, Lx) slab K = n_fft/hop times
+    per block with (1, bt*hop) <-> (bt, hop) relayouts and a serial RAW
+    chain between the passes.
+
+This kernel has zero sublane relayouts in the hot path:
+
+  * frames and spectrum stay (rows, n_fft) LANE-major; the radix m-stage's
+    leaves are 128-aligned lane slices (free vreg column selects) — see
+    :func:`.fft4.fwd4_lane` / :func:`.fft4.inv4_real_lane`; spectrum planes
+    use the lane-flat layout (t, 128*d + e), a free driver-side reshape of
+    the permuted (t, m, 128) layout;
+  * the Karatsuba W128 dots run per 128-lane leaf ((bt, 128) @ (128, 128)),
+    avoiding the (bt, m*128) -> (bt*m, 128) merge relayout (measured ~2x
+    the kernel residue at m=16);
+  * the signal slab is a 2D (rows, hop) hop-row layout: framing is ONE
+    aligned (block_t + 8, hop) read per clip + K-1 sublane rotations
+    (pltpu.roll — Mosaic cannot prove alignment of a t0+j row load, and
+    value slices at different sublane offsets cannot lane-concat, but
+    rolled values carry offset 0); overlap-add is a LOCAL
+    (block_t + K - 1, hop) accumulation + one aligned block store + a
+    (K-1, hop) carry tail in scratch — no slab RMW, no zeroing pass.
+
+Numerics are bitwise-identical to the (m, 128) kernels: the radix
+expression tree, twiddles, dot contractions, projection and epilogue run
+the same ops in the same order (the OLA regrouping only commutes the final
+two-operand add per boundary row), validated bitwise in
+scripts/exp_lane2d.py and tests/test_pallas4.py.  North star measured
+28.8 us/iter median vs ~116 us for the (m, 128) whole-run kernel in the
+same session (serialized compute floor ~26 us — see benchmarks.md).
+
+Requires ``hop | n_fft`` (the hop-row slab) on top of the usual 128 | hop;
+the dispatchers fall back to the (m, 128) kernels otherwise.
+
+Reference semantics: hot loop of /root/reference/torch_specinv/methods.py
+:241-248 (GL) and :464-477 (ADMM), momentum/projection constants at
+:235,246.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import STFTConfig
+from . import fft4
+from .gl_fused import LANE, PROJ_EPS, _anti_identity, split_schemes
+
+TABLE_KEYS = fft4.LANE_TABLE_KEYS
+
+
+def ext_rows(K: int) -> int:
+    """Extra slab rows past t_pad: the K-1 OLA spill rows, padded up so the
+    framing window read (block_t + ext sublanes) stays 8-aligned."""
+    return max(8, -(-(K - 1) // 8) * 8)
+
+
+def _roundup(v: int, q: int) -> int:
+    return -(-v // q) * q
+
+
+def _pad_rows(v, before: int, after: int, hop: int):
+    parts = []
+    if before:
+        parts.append(jnp.zeros((before, hop), v.dtype))
+    parts.append(v)
+    if after:
+        parts.append(jnp.zeros((after, hop), v.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else v
+
+
+def _repad_rows(
+    slab_s, wr, jrev_ref, pad_mode: str, p_amt: int, e: int, hop: int,
+    base: int, rows_c: int,
+):
+    """Edge re-pad of one clip's (rows_c, hop) slab region.
+
+    The pad regions live at samples [0, p_amt) and [e+1, e+1+p_amt) of the
+    clip's flat coordinates; their sources depend on ``pad_mode`` (mirrors
+    models/_pallas_driver.repad_edges, values exact — copies, a 0/1
+    permutation matmul, or broadcasts).  The strips holding those regions
+    are loaded as aligned row windows, flattened to (1, N) values (the only
+    — tiny — relayouts in the kernel), rewritten, and stored back.
+    """
+    if not p_amt or pad_mode == "constant":
+        return
+    row = pl.ds(wr, 1)
+    lt_cnt = min(rows_c, _roundup(-(-(2 * p_amt + 1) // hop), 8))
+    r0 = max(0, (e - p_amt) // hop // 8 * 8)
+    rt_cnt = min(rows_c - r0, _roundup(-(-(e + 1 + p_amt) // hop) - r0, 8))
+
+    def flat(r_start, cnt):
+        v = slab_s[row, pl.ds(base + r_start, cnt), :][0]
+        return v.reshape(1, cnt * hop)
+
+    def store(r_start, cnt, v):
+        slab_s[row, pl.ds(base + r_start, cnt), :] = v.reshape(cnt, hop)[
+            None
+        ]
+
+    def edges(lt, rt, off):
+        """(left, right) pad values from the left/right flat strips; ``off``
+        is the right strip's sample offset."""
+        if pad_mode == "reflect":
+            jm = jrev_ref[...]
+            hi = jax.lax.Precision.HIGHEST
+            left = jnp.dot(
+                lt[:, p_amt + 1 : 2 * p_amt + 1], jm,
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+            right = jnp.dot(
+                rt[:, e - p_amt - off : e - off], jm,
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+        elif pad_mode == "edge":
+            # broadcast from a direct (1, 1, 1) ref read: broadcasting a
+            # lane-slice of the big flattened strip value crashes the
+            # Mosaic compiler (subprocess exit), the ref-read form is what
+            # the (m, 128) kernels lower fine
+            lv = slab_s[
+                row, pl.ds(base + p_amt // hop, 1), pl.ds(p_amt % hop, 1)
+            ]
+            rv = slab_s[row, pl.ds(base + e // hop, 1), pl.ds(e % hop, 1)]
+            left = jnp.broadcast_to(lv.reshape(1, 1), (1, p_amt))
+            right = jnp.broadcast_to(rv.reshape(1, 1), (1, p_amt))
+        else:  # wrap / circular
+            left = rt[:, e - p_amt + 1 - off : e + 1 - off]
+            right = lt[:, p_amt : 2 * p_amt]
+        return left, right
+
+    def cat(parts):
+        """Lane-concat, skipping zero-width pieces (a pad region ending
+        exactly at the strip boundary produces a (1, 0) slice, which Mosaic
+        rejects as a vector type)."""
+        live = [p for p in parts if p.shape[-1]]
+        return live[0] if len(live) == 1 else jnp.concatenate(live, axis=1)
+
+    if r0 >= lt_cnt:
+        # disjoint strips: read both, rewrite both (reads before writes,
+        # like the flat version — the strips don't alias)
+        lt = flat(0, lt_cnt)
+        rt = flat(r0, rt_cnt)
+        off = r0 * hop
+        left, right = edges(lt, rt, off)
+        store(0, lt_cnt, cat([left, lt[:, p_amt:]]))
+        store(
+            r0, rt_cnt,
+            cat([rt[:, : e + 1 - off], right, rt[:, e + 1 + p_amt - off :]]),
+        )
+    else:
+        # short clip: one combined strip covering both regions
+        cnt = min(rows_c, max(lt_cnt, r0 + rt_cnt))
+        st = flat(0, cnt)
+        left, right = edges(st, st, 0)
+        store(
+            0, cnt,
+            cat([left, st[:, p_amt : e + 1], right, st[:, e + 1 + p_amt :]]),
+        )
+
+
+def _kernel(
+    scalar_ref,    # SMEM (1, 1) — lr (GL) or rho (ADMM)
+    x0_ref,        # (1, pack*rows_c, hop) hop-row slabs, t-padded
+    tgt_ref,       # (1, pack*t_pad, n_fft) lane-flat, t-block-major packed
+    st0_re_ref,    # (1, pack*t_pad, n_fft) initial state (pre / Y)
+    st0_im_ref,
+    *rest,
+    algo: str,
+    block_t: int,
+    n_fft: int,
+    hop: int,
+    K: int,
+    ext: int,
+    rows_c: int,
+    pad_mode: str,
+    p_amt: int,
+    e: int,
+    fwd_p,
+    inv_p,
+    np_tables,
+    n_iters: int,
+    emit_state: bool,
+    with_mag: bool,
+    t_blocked: bool,
+    pack: int,
+    valid_t: int,
+    leaf_dots: bool,
+):
+    ntab = len(TABLE_KEYS)
+    tab_refs = rest[:ntab]
+    win_ref, env_ref, jrev_ref = rest[ntab : ntab + 3]
+    outs = rest[ntab + 3 :]
+    x_out_ref = outs[0]
+    k = 1
+    if emit_state:
+        st_out_re_ref, st_out_im_ref = outs[k : k + 2]
+        k += 2
+    if with_mag:
+        mag_ref = outs[k]
+        k += 1
+    slab_s, st_re_s, st_im_s, tail_s = outs[k:]
+
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    n_t = pl.num_programs(2)
+    rd = jax.lax.rem(i, jnp.int32(2))  # framing reads slab[rd] ...
+    wr = 1 - rd                        # ... OLA writes slab[wr]
+    t0 = t * block_t
+    window = win_ref[0, :]
+    tables = dict(np_tables)
+    tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
+
+    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _init_x():
+        slab_s[pl.ds(0, 1)] = x0_ref[...]
+
+    # Packed planes are t-block-major (rows [(t*pack + c)*block_t + r] hold
+    # clip c's frame t*block_t + r), so step t's rows for all packed clips
+    # are one contiguous slice.
+    sl = pl.ds(t * pack * block_t, pack * block_t)
+
+    def _plane(ref):
+        # t_blocked: the ref window IS this step's slab (streamed);
+        # resident: the ref holds the whole plane, slice it.
+        return ref[0] if t_blocked else ref[0, sl]
+
+    @pl.when(i == 0)
+    def _init_state():
+        st_re_s[sl] = _plane(st0_re_ref)
+        st_im_s[sl] = _plane(st0_im_ref)
+
+    # --- framing: one aligned (block_t + ext, hop) read per clip; the K
+    # row shifts are sublane rotations of the loaded value
+    pieces = []
+    for c in range(pack):
+        base = c * rows_c
+        win8 = slab_s[pl.ds(rd, 1), pl.ds(base + t0, block_t + ext), :][0]
+        fp = [
+            (
+                win8 if j == 0
+                # i32 literal: a python-int shift weak-types to i64 under
+                # jax_enable_x64 and tpu.dynamic_rotate requires i32
+                else pltpu.roll(win8, jnp.int32(block_t + ext - j), 0)
+            )[:block_t]
+            for j in range(K)
+        ]
+        pieces.append(jnp.concatenate(fp, axis=1) if K > 1 else fp[0])
+    frames = (
+        jnp.concatenate(pieces, axis=0) if pack > 1 else pieces[0]
+    ) * window
+
+    s_re, s_im = fft4.fwd4_lane(frames, tables, fwd_p, leaf_dots)
+
+    if with_mag:
+        # Metric output = pre-update |stft(x)| (methods.py:242 / 464-465),
+        # only needed for the final (eval) iteration of the launch.
+        @pl.when(i == n_iters - 1)
+        def _emit_mag():
+            mg = jnp.sqrt(s_re * s_re + s_im * s_im)
+            if t_blocked:
+                mag_ref[0] = mg
+            else:
+                mag_ref[0, sl] = mg
+
+    scalar = scalar_ref[0, 0]
+    if algo == "gl":
+        # momentum S - lr*pre (methods.py:243-244) then magnitude projection
+        s_re = s_re - scalar * st_re_s[sl]
+        s_im = s_im - scalar * st_im_s[sl]
+        st_re_s[sl] = s_re
+        st_im_s[sl] = s_im
+        new_re, new_im = s_re, s_im
+        norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
+        gain = _plane(tgt_ref) / norm
+        p_re = s_re * gain
+        p_im = s_im * gain
+    else:  # admm — DR-reduced update chain (admm_fused4 module docstring)
+        y_re = st_re_s[sl]
+        y_im = st_im_s[sl]
+        onep = 1.0 + scalar
+        z_re = (scalar * y_re + s_re) / onep
+        z_im = (scalar * y_im + s_im) / onep
+        u_re = y_re - z_re
+        u_im = y_im - z_im
+        t_re = z_re - u_re
+        t_im = z_im - u_im
+        norm = jnp.sqrt(t_re * t_re + t_im * t_im) + PROJ_EPS
+        gain = _plane(tgt_ref) / norm
+        yn_re = t_re * gain + u_re
+        yn_im = t_im * gain + u_im
+        # mask padded rows (ADMM's dual would give them Y != 0)
+        rows = pack * block_t
+        local = jax.lax.broadcasted_iota(jnp.int32, (rows, n_fft), 0)
+        if rows != block_t:
+            local = jax.lax.rem(local, jnp.int32(block_t))
+        valid = (t0 + local) < valid_t
+        z = jnp.float32(0.0)
+        yn_re = jnp.where(valid, yn_re, z)
+        yn_im = jnp.where(valid, yn_im, z)
+        st_re_s[sl] = yn_re
+        st_im_s[sl] = yn_im
+        new_re, new_im = yn_re, yn_im
+        p_re, p_im = yn_re, yn_im
+
+    if emit_state:
+        @pl.when(i == n_iters - 1)
+        def _emit_state():
+            if t_blocked:
+                st_out_re_ref[0] = new_re
+                st_out_im_ref[0] = new_im
+            else:
+                st_out_re_ref[0, sl] = new_re
+                st_out_im_ref[0, sl] = new_im
+
+    fr = fft4.inv4_real_lane(p_re, p_im, tables, inv_p, leaf_dots) * window
+
+    # --- overlap-add: local accumulation + one aligned store + carry tail.
+    # The accumulator is SEEDED with the previous block's carry tail (zeros
+    # elsewhere / at t == 0) and the frame terms are added in ascending-j
+    # order — the exact per-element add grouping of the old slab-RMW loop
+    # (gl_fused4.ola_rows), so the switch is bitwise, not just close.
+    for c in range(pack):
+        frc = fr[c * block_t : (c + 1) * block_t] if pack > 1 else fr
+        base = c * rows_c
+        if K > 1:
+            # select, not multiply: at t == 0 the tail scratch is UNWRITTEN
+            # (NaN-filled in interpret mode, arbitrary on hardware) and
+            # NaN * 0.0 would poison the whole head
+            tail_prev = jnp.where(
+                t != 0, tail_s[c, pl.ds(0, K - 1), :], jnp.float32(0.0)
+            )
+            acc = _pad_rows(tail_prev, 0, block_t, hop)
+        else:
+            acc = None
+        for j in range(K):
+            term = _pad_rows(
+                frc[:, j * hop : (j + 1) * hop], j, K - 1 - j, hop
+            )
+            acc = term if acc is None else acc + term  # (block_t + K-1, hop)
+        slab_s[pl.ds(wr, 1), pl.ds(base + t0, block_t), :] = acc[:block_t][
+            None
+        ]
+        if K > 1:
+            tail_s[c, pl.ds(0, K - 1), :] = acc[block_t:]
+
+    @pl.when(t == n_t - 1)
+    def _finish():
+        t0l = (n_t - 1) * block_t
+        for c in range(pack):
+            base = c * rows_c
+            if K > 1:
+                slab_s[
+                    pl.ds(wr, 1), pl.ds(base + t0l + block_t, K - 1), :
+                ] = tail_s[c, pl.ds(0, K - 1), :][None]
+            idx = (pl.ds(wr, 1), pl.ds(base, rows_c), slice(None))
+            slab_s[idx] = slab_s[idx] * env_ref[0, pl.ds(base, rows_c), :]
+            _repad_rows(
+                slab_s, wr, jrev_ref, pad_mode, p_amt, e, hop, base, rows_c
+            )
+
+    @pl.when(jnp.logical_and(i == n_iters - 1, t == n_t - 1))
+    def _emit():
+        x_out_ref[...] = slab_s[pl.ds(wr, 1)]
+
+
+def supports(cfg: STFTConfig) -> bool:
+    """Lane kernel needs the hop-row slab: hop | n_fft (on top of the
+    dispatcher-level 128 | hop, 128 | n_fft).  ``SPECINV_FULLRUN_LANE=0``
+    disables the engine (A/B safety valve; the (m, 128) kernels are
+    bitwise-identical)."""
+    import os
+
+    if os.environ.get("SPECINV_FULLRUN_LANE", "1") == "0":
+        return False
+    return (
+        cfg.n_fft % cfg.hop_length == 0
+        and cfg.hop_length % LANE == 0
+        and cfg.n_fft % LANE == 0
+    )
+
+
+def fused_run_lane(
+    algo: str,               # "gl" | "admm"
+    x_pad: jnp.ndarray,      # (B, Lx) float32, padded coords
+    st_re: jnp.ndarray,      # (B, t_pad, m, 128) permuted state (pre / Y)
+    st_im: jnp.ndarray,
+    target: jnp.ndarray,     # (B, t_pad, m, 128) permuted magnitude
+    window: jnp.ndarray,
+    inv_env: jnp.ndarray,    # (Lx,)
+    scalar: jnp.ndarray,     # lr (GL) / rho (ADMM)
+    cfg: STFTConfig,
+    e: int,
+    n_iters: int,
+    valid_t: int = 0,        # ADMM row mask threshold (unused for GL)
+    block_t: int = 64,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGH,
+    emit_state: bool = False,
+    with_mag: bool = False,
+    pack: int = 1,
+    leaf_dots: bool = True,
+):
+    """Run ``n_iters`` fused iterations in one launch -> final x_pad (B, Lx).
+
+    Same contract as gl_fullrun4.fused_gl_run / admm_fused4.fused_admm_run
+    (return order ``x[, st_re, st_im][, mag]``, permuted (m, 128) planes at
+    the boundary); the lane-flat and hop-row layouts are internal.
+    """
+    B, t_pad, m, lanes = target.shape
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    assert lanes == LANE and m == n_fft // LANE
+    assert t_pad % block_t == 0
+    assert n_fft % hop == 0
+    K = n_fft // hop
+    assert block_t >= K - 1
+    ext = ext_rows(K)
+    rows_c = t_pad + ext
+    lx = x_pad.shape[-1]
+    assert lx == (t_pad - 1) * hop + n_fft
+    assert pack >= 1 and B % pack == 0
+    G = B // pack
+    n_t = t_pad // block_t
+
+    from .gl_fullrun4 import VMEM_BUDGET, VMEM_CEILING, plane_vmem_bytes
+
+    lxr = rows_c * hop
+    t_blocked = plane_vmem_bytes(
+        pack * t_pad, pack * block_t, n_fft, pack * lxr,
+        emit_state, with_mag, False,
+    ) > VMEM_BUDGET
+    if t_blocked and plane_vmem_bytes(
+        pack * t_pad, pack * block_t, n_fft, pack * lxr,
+        emit_state, with_mag, True,
+    ) > VMEM_CEILING:
+        raise ValueError(
+            "clip too long for the whole-run kernel's VMEM state; use "
+            "backend='pallas' or sequence parallelism"
+        )
+
+    def pack_planes(a):
+        """(B, t_pad, m, L) -> (G, pack*t_pad, n_fft) lane-flat,
+        t-block-major (see kernel)."""
+        a = a.reshape(G, pack, n_t, block_t, n_fft)
+        return jnp.swapaxes(a, 1, 2).reshape(G, pack * t_pad, n_fft)
+
+    def unpack_planes(a):
+        a = a.reshape(G, n_t, pack, block_t, n_fft)
+        return jnp.swapaxes(a, 1, 2).reshape(B, t_pad, m, LANE)
+
+    def to_rows(flat):
+        """(B, lx) -> (G, pack*rows_c, hop) hop-row slabs."""
+        pad = lxr - flat.shape[-1]
+        r = jnp.pad(flat.astype(jnp.float32), ((0, 0), (0, pad)))
+        return r.reshape(G, pack * rows_c, hop)
+
+    def env_rows(env):
+        """(lx,) envelope -> (1, pack*rows_c, hop), tiled across the pack."""
+        r = jnp.pad(env.astype(jnp.float32).reshape(1, -1),
+                    ((0, 0), (0, lxr - lx)))
+        return jnp.tile(r, (1, pack)).reshape(1, pack * rows_c, hop)
+
+    tables = fft4.fourstep_tables(n_fft, cfg.normalized)
+    np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
+    p_amt = cfg.pad_amount
+    pad_mode = cfg.jnp_pad_mode
+    if p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)
+    else:
+        jrev = np.zeros((8, LANE), np.float32)
+
+    fwd_p, inv_p = split_schemes(precision)
+    kernel = functools.partial(
+        _kernel, algo=algo, block_t=block_t, n_fft=n_fft, hop=hop,
+        K=K, ext=ext, rows_c=rows_c,
+        pad_mode=pad_mode, p_amt=p_amt, e=e,
+        fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, n_iters=n_iters,
+        emit_state=emit_state, with_mag=with_mag, t_blocked=t_blocked,
+        pack=pack, valid_t=valid_t, leaf_dots=leaf_dots,
+    )
+    grid = (G, n_iters, n_t)
+    whole = lambda b, i, t: (b, 0, 0)  # noqa: E731
+    sig = pl.BlockSpec((1, pack * rows_c, hop), lambda b, i, t: (b, 0, 0))
+    env_spec = pl.BlockSpec((1, pack * rows_c, hop), lambda b, i, t: (0, 0, 0))
+    if t_blocked:
+        blk = pl.BlockSpec(
+            (1, pack * block_t, n_fft), lambda b, i, t: (b, t, 0)
+        )
+    else:
+        blk = pl.BlockSpec((1, pack * t_pad, n_fft), whole)
+
+    plane = jax.ShapeDtypeStruct((G, pack * t_pad, n_fft), jnp.float32)
+    out_specs = [sig]
+    out_shape = [jax.ShapeDtypeStruct((G, pack * rows_c, hop), jnp.float32)]
+    if emit_state:
+        out_specs += [blk, blk]
+        out_shape += [plane, plane]
+    if with_mag:
+        out_specs.append(blk)
+        out_shape.append(plane)
+
+    macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # scalar
+            sig,                                                 # x0
+            blk, blk, blk,                                       # tgt, st0
+            *[
+                pl.BlockSpec(tables[k].shape, lambda b, i, t: (0, 0))
+                for k in TABLE_KEYS
+            ],
+            pl.BlockSpec((1, n_fft), lambda b, i, t: (0, 0)),    # window
+            env_spec,                                            # inv_env
+            pl.BlockSpec(jrev.shape, lambda b, i, t: (0, 0)),    # jrev
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, pack * rows_c, hop), jnp.float32),
+            pltpu.VMEM((pack * t_pad, n_fft), jnp.float32),
+            pltpu.VMEM((pack * t_pad, n_fft), jnp.float32),
+            pltpu.VMEM((pack, max(8, K - 1), hop), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_iters * t_pad * macs_frame,
+            bytes_accessed=4 * (2 * B * lx + 3 * B * t_pad * n_fft),
+            transcendentals=B * n_iters * t_pad * n_fft,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(scalar, jnp.float32).reshape(1, 1),
+        to_rows(x_pad),
+        pack_planes(target.astype(jnp.float32)),
+        pack_planes(st_re.astype(jnp.float32)),
+        pack_planes(st_im.astype(jnp.float32)),
+        *[jnp.asarray(tables[k]) for k in TABLE_KEYS],
+        jnp.asarray(window, jnp.float32).reshape(1, n_fft),
+        env_rows(jnp.asarray(inv_env)),
+        jnp.asarray(jrev),
+    )
+    x_fin = out[0].reshape(B, rows_c * hop)[:, :lx]
+    if not emit_state and not with_mag:
+        return x_fin
+    return (x_fin, *[unpack_planes(o) for o in out[1:]])

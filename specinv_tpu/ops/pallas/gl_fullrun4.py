@@ -404,6 +404,19 @@ def fused_gl_run(
     of overlappable DMA is added.  Raises ``ValueError`` when even the
     streamed layout cannot fit (the caller demotes backends).
     """
+    from .fullrun_lane import fused_run_lane
+    from .fullrun_lane import supports as lane_supports
+
+    if lane_supports(cfg) and block_t >= cfg.n_fft // cfg.hop_length - 1:
+        # lane-major + hop-row-slab engine: no sublane relayouts in the hot
+        # path, ~4x the (m, 128) kernel at the north star (module docstring)
+        return fused_run_lane(
+            "gl", x_pad, pre_re, pre_im, target, window, inv_env, lr, cfg,
+            e, n_iters, block_t=block_t, interpret=interpret,
+            precision=precision, emit_state=emit_state, with_mag=with_mag,
+            pack=pack,
+        )
+
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
     assert lanes == LANE and m == n_fft // LANE

@@ -240,3 +240,264 @@ def refine_run4(
         jnp.asarray(synth_win, jnp.float32).reshape(1, n_fft),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-frame variant: K_STEPS output-frame steps per launch.
+#
+# The per-frame kernel above still pays, per OUTPUT FRAME, one launch plus
+# the XLA glue around it (committed-context overlap-add, target dynamic
+# slice, commit/slide concats, state through HBM) — benchmarks.md measured
+# that glue at more than the refinement math itself.  Here the step index
+# becomes the leading grid dimension — ``grid = (k_steps, max_iter)`` — and
+# EVERYTHING the glue did moves in-kernel:
+#
+#   * the committed-frame buffer (frame-major, ``num_keep*B`` rows) lives in
+#     VMEM scratch; its windowed OLA tail is recomputed once per step
+#     (``j == 0``) — it is loop-invariant across refinements;
+#   * commit + slide (drop oldest committed row-block, append the newly
+#     committed frame, shift the in-flight buffer) are value moves on the
+#     VMEM state at ``j == max_iter - 1``;
+#   * the per-step target window arrives STEP-MAJOR ``(k, R, n_fft)`` via a
+#     blocked input spec (the driver pre-gathers the k overlapping windows
+#     once per launch — a dynamic row offset ``s*B`` inside the kernel
+#     would need alignment proofs Mosaic cannot make for arbitrary B);
+#   * committed frames leave through a blocked ``(k, B, n_fft)`` output.
+#
+# Spectra use the LANE-MAJOR four-step (fft4.fwd4_lane — bitwise-identical
+# values to fwd4, no sublane relayouts), so the momentum planes are
+# lane-flat ``(R, n_fft)`` here rather than permuted ``(R, m, 128)``.
+# HBM I/O per launch: state once in/out + k target windows + k committed
+# frames; per-frame XLA glue: none.
+
+
+def _kernel_multi(
+    lr_ref,        # SMEM (1, 1)
+    keep0_ref,     # (max(num_keep,1)*B, n_fft) committed frames, frame-major
+    upd0_ref,      # (R, n_fft) in-flight frames, frame-major
+    pre0_re_ref,   # (R, n_fft) momentum, lane-flat
+    pre0_im_ref,
+    tgt_ref,       # (1, R, n_fft) THIS STEP's target window (step-major in)
+    *rest,
+    B: int,
+    n_frames: int,
+    num_keep: int,
+    n_fft: int,
+    hop: int,
+    L: int,
+    fwd_p,
+    inv_p,
+    np_tables,
+    n_iters: int,
+    asym: bool,
+):
+    ntab = len(fft4.LANE_TABLE_KEYS)
+    tab_refs = rest[:ntab]
+    win_ref, awf_ref, awr_ref, synth_ref = rest[ntab : ntab + 4]
+    (com_ref, keep_out_ref, upd_out_ref, pre_re_out_ref, pre_im_out_ref,
+     keep_s, upd_s, pre_re_s, pre_im_s, xk_s, xs) = rest[ntab + 4 :]
+
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    tables = dict(np_tables)
+    tables.update(
+        {k: r[...] for k, r in zip(fft4.LANE_TABLE_KEYS, tab_refs)}
+    )
+    synth = synth_ref[0, :]
+
+    @pl.when(jnp.logical_and(s == 0, j == 0))
+    def _init():
+        keep_s[...] = keep0_ref[...]
+        upd_s[...] = upd0_ref[...]
+        pre_re_s[...] = pre0_re_ref[...]
+        pre_im_s[...] = pre0_im_ref[...]
+
+    # --- committed-context OLA tail (methods.py:365-370), loop-invariant
+    # across the refinements: recompute once per step from the slid buffer.
+    # Frame r of the committed window occupies tail coords
+    # [(r - num_keep)*hop, ...); only its suffix past (num_keep - r)*hop is
+    # visible in the tail.
+    @pl.when(j == 0)
+    def _context():
+        if num_keep == 0:
+            xk_s[...] = jnp.zeros_like(xk_s)
+        else:
+            acc = None
+            for r in range(num_keep):
+                off = (num_keep - r) * hop
+                if off >= n_fft:
+                    continue
+                w = n_fft - off
+                piece = keep_s[r * B : (r + 1) * B, off:] * synth[off:]
+                part = jnp.concatenate(
+                    [piece, jnp.zeros((B, L - w), jnp.float32)], axis=1
+                )
+                acc = part if acc is None else acc + part
+            xk_s[...] = (
+                acc if acc is not None else jnp.zeros_like(xk_s)
+            )
+
+    # --- committed context + in-flight OLA (same RMW structure as the
+    # per-frame kernel for float-order stability across the two paths)
+    xs[...] = xk_s[...]
+    for r in range(n_frames):
+        seg = xs[:, r * hop : r * hop + n_fft]
+        xs[:, r * hop : r * hop + n_fft] = (
+            seg + upd_s[r * B : (r + 1) * B, :] * synth
+        )
+
+    # --- re-analysis framing; newest frame takes the asymmetric window
+    window = win_ref[0, :]
+    rows = []
+    for r in range(n_frames):
+        seg = xs[:, r * hop : r * hop + n_fft]
+        if r < n_frames - 1 or not asym:
+            rows.append(seg * window)
+        else:
+            w_last = jnp.where(j == 0, awf_ref[0, :], awr_ref[0, :])
+            rows.append(seg * w_last)
+    frames = jnp.concatenate(rows, axis=0)          # (R, n_fft)
+
+    s_re, s_im = fft4.fwd4_lane(frames, tables, fwd_p)
+
+    # --- momentum: first refinement of EVERY step takes the next frame's
+    # momentum (one B-row block shift), newest frame un-damped
+    lr = lr_ref[0, 0]
+    pre_re = pre_re_s[...]
+    pre_im = pre_im_s[...]
+    zeros_b = jnp.zeros((B, n_fft), pre_re.dtype)
+    sh_re = jnp.concatenate([pre_re[B:], zeros_b], axis=0)
+    sh_im = jnp.concatenate([pre_im[B:], zeros_b], axis=0)
+    s_re = s_re - lr * jnp.where(j == 0, sh_re, pre_re)
+    s_im = s_im - lr * jnp.where(j == 0, sh_im, pre_im)
+    pre_re_s[...] = s_re
+    pre_im_s[...] = s_im
+
+    norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
+    gain = tgt_ref[0] / norm
+    fr = fft4.inv4_real_lane(s_re * gain, s_im * gain, tables, inv_p)
+    upd_s[...] = fr
+
+    # --- end of step: commit the oldest in-flight frame, slide the buffers
+    @pl.when(j == n_iters - 1)
+    def _commit():
+        com_ref[0] = fr[:B]
+        if num_keep:
+            kp = keep_s[...]
+            keep_s[...] = jnp.concatenate([kp[B:], fr[:B]], axis=0)
+        slid = jnp.concatenate(
+            [fr[B:], jnp.zeros((B, n_fft), jnp.float32)], axis=0
+        )
+        upd_s[...] = slid
+
+        @pl.when(s == pl.num_programs(0) - 1)
+        def _emit():
+            keep_out_ref[...] = keep_s[...]
+            upd_out_ref[...] = slid
+            pre_re_out_ref[...] = s_re
+            pre_im_out_ref[...] = s_im
+
+
+def refine_run4_multi(
+    keep0: jnp.ndarray,      # (max(num_keep,1)*B, n_fft) committed frames
+    upd0: jnp.ndarray,       # (R, n_fft) in-flight frames, frame-major
+    pre_re: jnp.ndarray,     # (R, n_fft) lane-flat momentum
+    pre_im: jnp.ndarray,
+    tgt_steps: jnp.ndarray,  # (k, R, n_fft) lane-flat target, step-major
+    window: jnp.ndarray,
+    aw_first: jnp.ndarray,
+    aw_rest: jnp.ndarray,
+    synth_win: jnp.ndarray,
+    lr: jnp.ndarray,
+    cfg: STFTConfig,
+    B: int,
+    num_keep: int,
+    max_iter: int,
+    asym: bool,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGH,
+):
+    """``k`` RTISI-LA output-frame steps (``max_iter`` refinements each) in
+    ONE launch.  Returns ``(committed (k, B, n_fft), keep, upd, pre_re,
+    pre_im)`` — the final state in the same frame-major/lane-flat layouts.
+    """
+    k, R, n_fft = tgt_steps.shape
+    n_frames = R // B
+    hop = cfg.hop_length
+    L = (n_frames - 1) * hop + n_fft
+    assert R == n_frames * B and n_fft == cfg.n_fft
+    assert keep0.shape == (max(num_keep, 1) * B, n_fft)
+    assert max_iter >= 1
+
+    tables = fft4.fourstep_tables(n_fft, cfg.normalized)
+    np_tables = {
+        k_: v for k_, v in tables.items() if k_ not in fft4.LANE_TABLE_KEYS
+    }
+    fwd_p, inv_p = split_schemes(precision)
+    kernel = functools.partial(
+        _kernel_multi, B=B, n_frames=n_frames, num_keep=num_keep,
+        n_fft=n_fft, hop=hop, L=L,
+        fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, n_iters=max_iter,
+        asym=asym,
+    )
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda s, j: tuple([0] * len(shape)))
+
+    vec = lambda: whole((1, n_fft))  # noqa: E731
+    plane = whole((R, n_fft))
+    keep_spec = whole(keep0.shape)
+    step_in = pl.BlockSpec((1, R, n_fft), lambda s, j: (s, 0, 0))
+    step_out = pl.BlockSpec((1, B, n_fft), lambda s, j: (s, 0, 0))
+
+    m = n_fft // LANE
+    macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
+    out = pl.pallas_call(
+        kernel,
+        grid=(k, max_iter),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lr
+            keep_spec,                               # keep0
+            plane,                                   # upd0
+            plane, plane,                            # pre0
+            step_in,                                 # tgt (step-major)
+            *[whole(tables[k_].shape) for k_ in fft4.LANE_TABLE_KEYS],
+            vec(), vec(), vec(), vec(),              # window, awf, awr, synth
+        ],
+        out_specs=[step_out, keep_spec, plane, plane, plane],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, B, n_fft), jnp.float32),
+            jax.ShapeDtypeStruct(keep0.shape, jnp.float32),
+            *[jax.ShapeDtypeStruct((R, n_fft), jnp.float32)] * 3,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(keep0.shape, jnp.float32),    # keep_s
+            pltpu.VMEM((R, n_fft), jnp.float32),     # upd_s
+            pltpu.VMEM((R, n_fft), jnp.float32),     # pre_re_s
+            pltpu.VMEM((R, n_fft), jnp.float32),     # pre_im_s
+            pltpu.VMEM((B, L), jnp.float32),         # xk_s
+            pltpu.VMEM((B, L), jnp.float32),         # xs
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * R * max_iter * macs_frame,
+            bytes_accessed=4 * (k * (B + R) * n_fft + 5 * R * n_fft),
+            transcendentals=k * max_iter * R * n_fft,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(lr, jnp.float32).reshape(1, 1),
+        keep0.astype(jnp.float32),
+        upd0.astype(jnp.float32),
+        pre_re.astype(jnp.float32),
+        pre_im.astype(jnp.float32),
+        tgt_steps.astype(jnp.float32),
+        *[jnp.asarray(tables[k_]) for k_ in fft4.LANE_TABLE_KEYS],
+        jnp.asarray(window, jnp.float32).reshape(1, n_fft),
+        jnp.asarray(aw_first, jnp.float32).reshape(1, n_fft),
+        jnp.asarray(aw_rest, jnp.float32).reshape(1, n_fft),
+        jnp.asarray(synth_win, jnp.float32).reshape(1, n_fft),
+    )
+    return out

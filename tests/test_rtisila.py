@@ -470,3 +470,59 @@ def test_remat_grads_match(backend):
     g1 = np.asarray(jax.grad(lambda s: loss(s, True))(jnp.asarray(spec)))
     assert np.isfinite(g1).all()
     np.testing.assert_allclose(g1, g0, atol=1e-7 * np.abs(g0).max())
+
+
+def test_pallas4_frames_per_launch_invariance():
+    """Multi-frame launch folding is execution structure, not math: any
+    frames_per_launch >= 2 runs the identical per-step op sequence (in-VMEM
+    commit/slide + in-kernel committed-context OLA), so results are bitwise
+    equal across foldings — including when the step count doesn't divide
+    (inert zero-target pad steps).  frames_per_launch=1 takes the legacy
+    per-frame kernel whose committed-context OLA lives in XLA — value-equal
+    math in a different summation order, so it sits within the usual
+    causally-amplified band."""
+    n_fft = 512
+    x = make_signal((2, 4410), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[..., :9]
+    kw = dict(look_ahead=2, max_iter=3, verbose=False, backend="pallas4")
+    base = np.asarray(RTISI_LA(mag, **kw))  # default folding (8)
+    b3 = np.asarray(RTISI_LA(mag, frames_per_launch=3, **kw))
+    np.testing.assert_allclose(b3, base, atol=0)
+    b2 = np.asarray(RTISI_LA(mag, frames_per_launch=2, **kw))
+    np.testing.assert_allclose(b2, base, atol=0)
+    b1 = np.asarray(RTISI_LA(mag, frames_per_launch=1, **kw))
+    np.testing.assert_allclose(b1, base, atol=2e-4 * np.abs(base).max())
+
+
+def test_frames_per_launch_validation():
+    n_fft = 512
+    x = make_signal((3000,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[:, :6]
+    with pytest.raises(ValueError, match="pallas4"):
+        RTISI_LA(mag, backend="fft", max_iter=2, verbose=False,
+                 frames_per_launch=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        RTISI_LA(mag, backend="pallas4", max_iter=2, verbose=False,
+                 frames_per_launch=0)
+
+
+def test_pallas4_multi_grad_matches_xla():
+    """jax.grad flows through the multi-frame kernel's custom_vjp (the
+    chained XLA twin) and matches the XLA scan path's gradient."""
+    n_fft = 512
+    x = make_signal((3500,), dtype=np.float32)
+    mag = np.abs(torch_stft(x, n_fft)).astype(np.float32)[:, :6]
+
+    def loss(m, backend):
+        y = RTISI_LA(m, look_ahead=2, max_iter=2, verbose=False,
+                     backend=backend,
+                     precision=(jax.lax.Precision.HIGHEST
+                                if backend == "pallas4" else None))
+        return jnp.sum(y * y)
+
+    g_x = np.asarray(jax.grad(lambda m: loss(m, "fft"))(jnp.asarray(mag)))
+    g_k = np.asarray(
+        jax.grad(lambda m: loss(m, "pallas4"))(jnp.asarray(mag))
+    )
+    assert g_k.shape == g_x.shape and np.isfinite(g_k).all()
+    np.testing.assert_allclose(g_k, g_x, atol=2e-3 * np.abs(g_x).max())
