@@ -32,11 +32,19 @@ def main():
     backends = ["pallas4", "matmul"]
     rounds = 5
     secs = (2.5, 10.0)
+    kpls = [None]
     bs = []
     i = 0
     while i < len(argv):
         if argv[i] == "--backends":
             backends = argv[i + 1].split(",")
+            i += 2
+        elif argv[i] == "--kpl":
+            # frames_per_launch variants (pallas4 only); 0 = library default
+            kpls = [
+                None if s in ("0", "auto") else int(s)
+                for s in argv[i + 1].split(",")
+            ]
             i += 2
         elif argv[i] == "--rounds":
             rounds = int(argv[i + 1])
@@ -71,7 +79,7 @@ def main():
         frames = {sec: int(mags[sec][0].shape[-1]) for sec in mags}
         vi = [0]
 
-        def run(sec, backend):
+        def run(sec, backend, kpl):
             # Reduce to one scalar before readback: a (64, 220500) waveform
             # is ~56 MB through the ~14 MB/s tunnel, which would dominate
             # the marginal delta and measure the link, not the chip.
@@ -80,30 +88,38 @@ def main():
             y = si.RTISI_LA(
                 v, look_ahead=3, max_iter=25,
                 verbose=False, window=win, backend=backend,
+                frames_per_launch=kpl if backend == "pallas4" else None,
             )
             return jnp.sum(y)
 
-        # warm every (sec, backend) variant
-        for bk in backends:
+        variants = [
+            (bk, kpl)
+            for bk in backends
+            for kpl in (kpls if bk == "pallas4" else [None])
+        ]
+        # warm every (sec, variant)
+        for var in variants:
             for sec in secs:
-                _readback(run(sec, bk))
-        deltas = {bk: [] for bk in backends}
+                _readback(run(sec, *var))
+        deltas = {var: [] for var in variants}
         for _ in range(rounds):
-            for bk in backends:
+            for var in variants:
                 t0 = time.perf_counter()
-                _readback(run(secs[0], bk))
+                _readback(run(secs[0], *var))
                 ts = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                _readback(run(secs[1], bk))
+                _readback(run(secs[1], *var))
                 tl = time.perf_counter() - t0
-                deltas[bk].append(tl - ts)
+                deltas[var].append(tl - ts)
         dframes = frames[secs[1]] - frames[secs[0]]
-        for bk in backends:
-            d = sorted(deltas[bk])[len(deltas[bk]) // 2]
+        for var in variants:
+            bk, kpl = var
+            d = sorted(deltas[var])[len(deltas[var]) // 2]
             agg = B * dframes / d
             print(json.dumps({
                 "batch": B,
                 "backend": bk,
+                "frames_per_launch": kpl,
                 "marginal_frames_per_s_aggregate": round(agg, 1),
                 "per_stream": round(agg / B, 1),
                 "realtime_x_per_stream": round(

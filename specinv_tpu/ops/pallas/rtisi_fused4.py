@@ -295,17 +295,16 @@ def _kernel_multi(
     tab_refs = rest[:ntab]
     win_ref, awf_ref, awr_ref, synth_ref = rest[ntab : ntab + 4]
     (com_ref, keep_out_ref, upd_out_ref, pre_re_out_ref, pre_im_out_ref,
-     keep_s, upd_s, pre_re_s, pre_im_s, xk_s, xs) = rest[ntab + 4 :]
+     keep_s, upd_s, pre_re_s, pre_im_s, xs) = rest[ntab + 4 :]
 
     s = pl.program_id(0)
-    j = pl.program_id(1)
     tables = dict(np_tables)
     tables.update(
         {k: r[...] for k, r in zip(fft4.LANE_TABLE_KEYS, tab_refs)}
     )
     synth = synth_ref[0, :]
 
-    @pl.when(jnp.logical_and(s == 0, j == 0))
+    @pl.when(s == 0)
     def _init():
         keep_s[...] = keep0_ref[...]
         upd_s[...] = upd0_ref[...]
@@ -313,89 +312,92 @@ def _kernel_multi(
         pre_im_s[...] = pre0_im_ref[...]
 
     # --- committed-context OLA tail (methods.py:365-370), loop-invariant
-    # across the refinements: recompute once per step from the slid buffer.
+    # across the refinements: compute once per step from the slid buffer.
     # Frame r of the committed window occupies tail coords
     # [(r - num_keep)*hop, ...); only its suffix past (num_keep - r)*hop is
-    # visible in the tail.
-    @pl.when(j == 0)
-    def _context():
-        if num_keep == 0:
-            xk_s[...] = jnp.zeros_like(xk_s)
-        else:
-            acc = None
-            for r in range(num_keep):
-                off = (num_keep - r) * hop
-                if off >= n_fft:
-                    continue
-                w = n_fft - off
-                piece = keep_s[r * B : (r + 1) * B, off:] * synth[off:]
-                part = jnp.concatenate(
-                    [piece, jnp.zeros((B, L - w), jnp.float32)], axis=1
-                )
-                acc = part if acc is None else acc + part
-            xk_s[...] = (
-                acc if acc is not None else jnp.zeros_like(xk_s)
+    # visible in the tail.  Held as a VALUE: the refinements are an
+    # IN-KERNEL fori_loop (the per-(step, refinement) 2D grid measured
+    # grid-step-sequencing-bound — ~1 us/step against ~4-row math).
+    if num_keep == 0:
+        xk = jnp.zeros((B, L), jnp.float32)
+    else:
+        xk = None
+        for r in range(num_keep):
+            off = (num_keep - r) * hop
+            if off >= n_fft:
+                continue
+            w = n_fft - off
+            piece = keep_s[r * B : (r + 1) * B, off:] * synth[off:]
+            part = jnp.concatenate(
+                [piece, jnp.zeros((B, L - w), jnp.float32)], axis=1
+            )
+            xk = part if xk is None else xk + part
+        if xk is None:
+            xk = jnp.zeros((B, L), jnp.float32)
+
+    window = win_ref[0, :]
+    lr = lr_ref[0, 0]
+
+    def refine(j, _):
+        # --- committed context + in-flight OLA (same RMW structure as the
+        # per-frame kernel for float-order stability across the two paths)
+        xs[...] = xk
+        for r in range(n_frames):
+            seg = xs[:, r * hop : r * hop + n_fft]
+            xs[:, r * hop : r * hop + n_fft] = (
+                seg + upd_s[r * B : (r + 1) * B, :] * synth
             )
 
-    # --- committed context + in-flight OLA (same RMW structure as the
-    # per-frame kernel for float-order stability across the two paths)
-    xs[...] = xk_s[...]
-    for r in range(n_frames):
-        seg = xs[:, r * hop : r * hop + n_fft]
-        xs[:, r * hop : r * hop + n_fft] = (
-            seg + upd_s[r * B : (r + 1) * B, :] * synth
-        )
+        # --- re-analysis framing; newest frame takes the asym window
+        rows = []
+        for r in range(n_frames):
+            seg = xs[:, r * hop : r * hop + n_fft]
+            if r < n_frames - 1 or not asym:
+                rows.append(seg * window)
+            else:
+                w_last = jnp.where(j == 0, awf_ref[0, :], awr_ref[0, :])
+                rows.append(seg * w_last)
+        frames = jnp.concatenate(rows, axis=0)          # (R, n_fft)
 
-    # --- re-analysis framing; newest frame takes the asymmetric window
-    window = win_ref[0, :]
-    rows = []
-    for r in range(n_frames):
-        seg = xs[:, r * hop : r * hop + n_fft]
-        if r < n_frames - 1 or not asym:
-            rows.append(seg * window)
-        else:
-            w_last = jnp.where(j == 0, awf_ref[0, :], awr_ref[0, :])
-            rows.append(seg * w_last)
-    frames = jnp.concatenate(rows, axis=0)          # (R, n_fft)
+        s_re, s_im = fft4.fwd4_lane(frames, tables, fwd_p)
 
-    s_re, s_im = fft4.fwd4_lane(frames, tables, fwd_p)
+        # --- momentum: the first refinement of EVERY step takes the next
+        # frame's momentum (one B-row block shift), newest frame un-damped
+        pre_re = pre_re_s[...]
+        pre_im = pre_im_s[...]
+        zeros_b = jnp.zeros((B, n_fft), pre_re.dtype)
+        sh_re = jnp.concatenate([pre_re[B:], zeros_b], axis=0)
+        sh_im = jnp.concatenate([pre_im[B:], zeros_b], axis=0)
+        s_re = s_re - lr * jnp.where(j == 0, sh_re, pre_re)
+        s_im = s_im - lr * jnp.where(j == 0, sh_im, pre_im)
+        pre_re_s[...] = s_re
+        pre_im_s[...] = s_im
 
-    # --- momentum: first refinement of EVERY step takes the next frame's
-    # momentum (one B-row block shift), newest frame un-damped
-    lr = lr_ref[0, 0]
-    pre_re = pre_re_s[...]
-    pre_im = pre_im_s[...]
-    zeros_b = jnp.zeros((B, n_fft), pre_re.dtype)
-    sh_re = jnp.concatenate([pre_re[B:], zeros_b], axis=0)
-    sh_im = jnp.concatenate([pre_im[B:], zeros_b], axis=0)
-    s_re = s_re - lr * jnp.where(j == 0, sh_re, pre_re)
-    s_im = s_im - lr * jnp.where(j == 0, sh_im, pre_im)
-    pre_re_s[...] = s_re
-    pre_im_s[...] = s_im
+        norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
+        gain = tgt_ref[0] / norm
+        fr = fft4.inv4_real_lane(s_re * gain, s_im * gain, tables, inv_p)
+        upd_s[...] = fr
+        return 0
 
-    norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
-    gain = tgt_ref[0] / norm
-    fr = fft4.inv4_real_lane(s_re * gain, s_im * gain, tables, inv_p)
-    upd_s[...] = fr
+    jax.lax.fori_loop(0, n_iters, refine, 0)
 
     # --- end of step: commit the oldest in-flight frame, slide the buffers
-    @pl.when(j == n_iters - 1)
-    def _commit():
-        com_ref[0] = fr[:B]
-        if num_keep:
-            kp = keep_s[...]
-            keep_s[...] = jnp.concatenate([kp[B:], fr[:B]], axis=0)
-        slid = jnp.concatenate(
-            [fr[B:], jnp.zeros((B, n_fft), jnp.float32)], axis=0
-        )
-        upd_s[...] = slid
+    fr = upd_s[...]
+    com_ref[0] = fr[:B]
+    if num_keep:
+        kp = keep_s[...]
+        keep_s[...] = jnp.concatenate([kp[B:], fr[:B]], axis=0)
+    slid = jnp.concatenate(
+        [fr[B:], jnp.zeros((B, n_fft), jnp.float32)], axis=0
+    )
+    upd_s[...] = slid
 
-        @pl.when(s == pl.num_programs(0) - 1)
-        def _emit():
-            keep_out_ref[...] = keep_s[...]
-            upd_out_ref[...] = slid
-            pre_re_out_ref[...] = s_re
-            pre_im_out_ref[...] = s_im
+    @pl.when(s == pl.num_programs(0) - 1)
+    def _emit():
+        keep_out_ref[...] = keep_s[...]
+        upd_out_ref[...] = slid
+        pre_re_out_ref[...] = pre_re_s[...]
+        pre_im_out_ref[...] = pre_im_s[...]
 
 
 def refine_run4_multi(
@@ -442,19 +444,19 @@ def refine_run4_multi(
     )
 
     def whole(shape):
-        return pl.BlockSpec(shape, lambda s, j: tuple([0] * len(shape)))
+        return pl.BlockSpec(shape, lambda s: tuple([0] * len(shape)))
 
     vec = lambda: whole((1, n_fft))  # noqa: E731
     plane = whole((R, n_fft))
     keep_spec = whole(keep0.shape)
-    step_in = pl.BlockSpec((1, R, n_fft), lambda s, j: (s, 0, 0))
-    step_out = pl.BlockSpec((1, B, n_fft), lambda s, j: (s, 0, 0))
+    step_in = pl.BlockSpec((1, R, n_fft), lambda s: (s, 0, 0))
+    step_out = pl.BlockSpec((1, B, n_fft), lambda s: (s, 0, 0))
 
     m = n_fft // LANE
     macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
     out = pl.pallas_call(
         kernel,
-        grid=(k, max_iter),
+        grid=(k,),  # refinements run as an IN-KERNEL fori_loop (see kernel)
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # lr
             keep_spec,                               # keep0
@@ -475,7 +477,6 @@ def refine_run4_multi(
             pltpu.VMEM((R, n_fft), jnp.float32),     # upd_s
             pltpu.VMEM((R, n_fft), jnp.float32),     # pre_re_s
             pltpu.VMEM((R, n_fft), jnp.float32),     # pre_im_s
-            pltpu.VMEM((B, L), jnp.float32),         # xk_s
             pltpu.VMEM((B, L), jnp.float32),         # xs
         ],
         compiler_params=pltpu.CompilerParams(
