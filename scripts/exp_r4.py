@@ -32,22 +32,34 @@ SR = 22050
 
 
 def interleave(variants, rounds=5, lo=100, hi=400):
+    """Marginal us/iter per variant.
+
+    Tunnel stalls are ONE-SIDED (they only ever add time), so the robust
+    estimator is min-over-rounds of each absolute time, differenced:
+    marginal = (min t_hi - min t_lo) / (hi - lo).  The per-round marginal
+    medians are printed too for cross-checking.
+    """
     for f in variants.values():
         for it in (lo, hi):
             readback(f(it))
-    marg = {n: [] for n in variants}
+    t_lo = {n: [] for n in variants}
+    t_hi = {n: [] for n in variants}
     for r in range(rounds):
         for n, f in variants.items():
-            t0 = time.perf_counter(); readback(f(lo)); a = time.perf_counter() - t0
-            t0 = time.perf_counter(); readback(f(hi)); b = time.perf_counter() - t0
-            marg[n].append((b - a) / (hi - lo) * 1e6)
+            t0 = time.perf_counter(); readback(f(lo)); t_lo[n].append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); readback(f(hi)); t_hi[n].append(time.perf_counter() - t0)
         print(f"# round {r} done", flush=True)
     out = {}
-    for n, ms in marg.items():
-        ms = sorted(ms)
-        out[n] = round(ms[len(ms) // 2], 2)
-        print(json.dumps({"variant": n, "us_per_iter": out[n],
-                          "all": [round(m, 1) for m in ms]}), flush=True)
+    for n in variants:
+        m_min = (min(t_hi[n]) - min(t_lo[n])) / (hi - lo) * 1e6
+        per_round = sorted(
+            (b - a) / (hi - lo) * 1e6 for a, b in zip(t_lo[n], t_hi[n]))
+        out[n] = round(m_min, 2)
+        print(json.dumps({
+            "variant": n, "us_per_iter": out[n],
+            "median_of_marginals": round(per_round[len(per_round) // 2], 2),
+            "t_lo_min_ms": round(min(t_lo[n]) * 1e3, 1),
+            "t_hi_min_ms": round(min(t_hi[n]) * 1e3, 1)}), flush=True)
     return out
 
 
@@ -95,7 +107,9 @@ def sec_blockt(rounds):
                 x_pad, pre_re, pre_im, tgt, wj, inv_env, lr, cfg, geo.e,
                 n_iters=it, block_t=bt, emit_state=True, with_mag=False)[0]
         )
-    interleave(variants, rounds)
+    # ~29 us/iter x 20000-iter contrast = ~580 ms >> tunnel RPC jitter
+    # (this session's tunnel shows multi-hundred-ms outliers)
+    interleave(variants, rounds, lo=1000, hi=21000)
 
 
 def sec_admm(rounds):
@@ -112,7 +126,7 @@ def sec_admm(rounds):
                 geo.e, n_iters=it, block_t=geo.block_t,
                 emit_state=True, with_mag=False)[0]
         variants[name] = f
-    interleave(variants, rounds)
+    interleave(variants, rounds, lo=1000, hi=21000)
 
 
 def sec_rtisi(rounds):
@@ -122,7 +136,7 @@ def sec_rtisi(rounds):
     win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
     rng = np.random.default_rng(3)
     for B in (1, 16):
-        clip = rng.standard_normal((B, SR * 2)).astype(np.float32)
+        clip = rng.standard_normal((B, SR * 10)).astype(np.float32)
         import torch
         mag = torch.stft(
             torch.from_numpy(clip), n_fft, window=torch.from_numpy(win),
@@ -137,24 +151,29 @@ def sec_rtisi(rounds):
                     verbose=False, backend="pallas4", window=win,
                     frames_per_launch=kpl),
             )
-        # frames-based marginal: lo/hi frame counts
+        # frames-based marginal: lo/hi frame counts; min-based estimator
+        # (tunnel stalls are one-sided)
         lo, hi = 32, T
         for f in variants.values():
             for n in (lo, hi):
                 readback(f(n))
-        marg = {n: [] for n in variants}
+        t_lo = {n: [] for n in variants}
+        t_hi = {n: [] for n in variants}
         for r in range(rounds):
             for n, f in variants.items():
-                t0 = time.perf_counter(); readback(f(lo)); a = time.perf_counter() - t0
-                t0 = time.perf_counter(); readback(f(hi)); b = time.perf_counter() - t0
-                marg[n].append((hi - lo) * B / max(b - a, 1e-9))
+                t0 = time.perf_counter(); readback(f(lo)); t_lo[n].append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); readback(f(hi)); t_hi[n].append(time.perf_counter() - t0)
             print(f"# round {r} done", flush=True)
-        for n, ms in marg.items():
-            ms = sorted(ms)
+        for n in variants:
+            d = min(t_hi[n]) - min(t_lo[n])
+            per_round = sorted(
+                (hi - lo) * B / max(b - a, 1e-9)
+                for a, b in zip(t_lo[n], t_hi[n]))
             print(json.dumps({
                 "variant": n,
-                "frames_per_sec": round(ms[len(ms) // 2], 1),
-                "all": [round(m, 1) for m in ms]}), flush=True)
+                "frames_per_sec": round((hi - lo) * B / max(d, 1e-9), 1),
+                "median_of_marginals": round(
+                    per_round[len(per_round) // 2], 1)}), flush=True)
 
 
 def sec_batch(rounds):
@@ -174,7 +193,8 @@ def sec_batch(rounds):
                 mag, max_iter=it, tol=0.0, verbose=False, window=win,
                 backend="pallas4"),
         }
-        out = interleave(variants, rounds, lo=50, hi=200)
+        # contrast sized for ~300+ ms of compute per pair at every B
+        out = interleave(variants, rounds, lo=50, hi=50 + max(200, 9000 // B))
         us = out[f"B{B}"]
         print(json.dumps({
             "B": B, "clip_iters_per_sec": round(B * 1e6 / us, 1)}),
@@ -202,6 +222,38 @@ def sec_lbfgs(rounds):
         "inner_it_per_sec": round(10 * 1e6 / us, 1)}), flush=True)
 
 
+def sec_lbfgs_batch(rounds):
+    """Batched-clip L-BFGS: jax.vmap over the whole solver (per-clip line
+    search + termination), B in {1, 4, 16}."""
+    from specinv_tpu.models.lbfgs import run
+    from specinv_tpu.ops.mel import log_mel_transform
+
+    n_fft, n_mels = 2048, 128
+    fn = log_mel_transform(n_fft=n_fft, n_mels=n_mels, sample_rate=SR)
+    rng = np.random.default_rng(4)
+    tol = jnp.float32(0.0)
+
+    for B in (1, 4, 16):
+        x = rng.standard_normal((B, SR * 10)).astype(np.float32) * 0.1
+        tgt = jax.vmap(fn)(jnp.asarray(x))
+        x0 = jnp.asarray(
+            rng.standard_normal((B, SR * 10)).astype(np.float32) * 1e-6)
+
+        def solve(it):
+            def one(t, x0):
+                return run(
+                    t, x0, tol, fn, outer_max_iter=it, inner_max_iter=10,
+                    line_search=True, verbose=False, mode="fori")
+            return jax.vmap(one)(tgt, x0)
+
+        out = interleave({f"B{B}": solve}, rounds, lo=3, hi=12)
+        us = out[f"B{B}"]
+        print(json.dumps({
+            "B": B,
+            "aggregate_inner_it_per_sec": round(B * 10 * 1e6 / us, 1)}),
+            flush=True)
+
+
 def main():
     only = None
     if "--only" in sys.argv:
@@ -212,6 +264,7 @@ def main():
     for name, fn in (
         ("blockt", sec_blockt), ("admm", sec_admm), ("rtisi", sec_rtisi),
         ("batch", sec_batch), ("lbfgs", sec_lbfgs),
+        ("lbfgs_batch", sec_lbfgs_batch),
     ):
         if only and name != only:
             continue

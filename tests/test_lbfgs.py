@@ -250,3 +250,29 @@ def test_strong_wolfe_outcome_parity_vs_torch():
         # quality parity: within one decade of torch, and genuinely converged
         assert l_us < max(10.0 * l_ref, 1e-14), (outer, l_us, l_ref)
         assert l_us < floor, (outer, l_us)
+
+
+@pytest.mark.parametrize("line_search", [False, True])
+def test_vmap_batched_clips_match_loop(line_search):
+    """Capacity-serving recipe: jax.vmap over the whole solver (per-clip
+    line search + termination) must match solving each clip alone."""
+    from specinv_tpu.models.lbfgs import run
+
+    fn = _stft_mag_fn(256)
+    rng = np.random.default_rng(11)
+    B, n = 3, 2048
+    xs = rng.standard_normal((B, n)).astype(np.float32)
+    tgts = jax.vmap(fn)(jnp.asarray(xs))
+    x0 = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32) * 1e-6)
+    tol = jnp.float32(0.0)
+
+    def one(t, x0):
+        return run(
+            t, x0, tol, fn, outer_max_iter=3, inner_max_iter=5,
+            line_search=line_search, lr=0.5, verbose=False, mode="fori")
+
+    batched = jax.vmap(one)(tgts, x0)
+    for b in range(B):
+        solo = one(tgts[b], x0[b])
+        np.testing.assert_allclose(
+            np.asarray(batched[b]), np.asarray(solo), rtol=2e-4, atol=1e-5)
