@@ -18,6 +18,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from bench_common import readback  # noqa: E402
@@ -47,15 +48,19 @@ def main():
         for pack in packs:
             if B % pack:
                 continue
-            variants[f"B{B}p{pack}"] = functools.partial(
-                lambda it, pack=pack: fused_gl_run(
+            # Reduce to a scalar INSIDE the jit so the readback moves 4
+            # bytes, not a (B, Lx) waveform — a 13 MB readback through the
+            # ~14 MB/s tunnel is ~1 s of jitter that swamps the contrast.
+            run = jax.jit(functools.partial(
+                lambda it, pack: jnp.sum(fused_gl_run(
                     x_pad, tgt, tgt * 0.25, tgt, wj, inv_env, lr, cfg,
                     geo.e, n_iters=it, block_t=geo.block_t,
-                    emit_state=True, with_mag=False, pack=pack)[0]
-            )
-        # contrast sized for >=300 ms of kernel compute at every B
+                    emit_state=True, with_mag=False, pack=pack)[0]),
+                pack=pack), static_argnums=0)
+            variants[f"B{B}p{pack}"] = run
+        # contrast sized for >=1.5 s of kernel compute at every B
         out = interleave(
-            variants, rounds, lo=50, hi=50 + max(400, 25000 // B))
+            variants, rounds, lo=50, hi=50 + max(2000, 150000 // B))
         for name, us in out.items():
             print(json.dumps({
                 "variant": name,

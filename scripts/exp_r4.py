@@ -179,22 +179,38 @@ def sec_rtisi(rounds):
 def sec_batch(rounds):
     from specinv_tpu.models.griffin_lim import griffin_lim
 
-    n_fft = 2048
-    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    nffts = (2048,)
+    if "--all-nfft" in sys.argv:
+        nffts = (512, 1024, 2048, 4096)
     rng = np.random.default_rng(3)
     import torch
+    for n_fft in nffts:
+        win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+        print(f"## n_fft={n_fft}", flush=True)
+        _sec_batch_one(rounds, n_fft, win, rng)
+
+
+def _sec_batch_one(rounds, n_fft, win, rng):
+    from specinv_tpu.models.griffin_lim import griffin_lim
+    import torch
+
     for B in (1, 4, 16, 64):
         clip = rng.standard_normal((B, SR * 2)).astype(np.float32)
         mag = torch.stft(
             torch.from_numpy(clip), n_fft, window=torch.from_numpy(win),
             return_complex=True).abs().numpy().astype(np.float32)
-        variants = {
-            f"B{B}": lambda it: griffin_lim(
+        # Scalar-reduce inside jit: a (B, 44100) waveform readback through
+        # the ~14 MB/s tunnel is up to ~1 s of one-sided jitter — far
+        # larger than the iteration contrast it would ride on.
+        def mk(it):
+            return jnp.sum(griffin_lim(
                 mag, max_iter=it, tol=0.0, verbose=False, window=win,
-                backend="pallas4"),
-        }
-        # contrast sized for ~300+ ms of compute per pair at every B
-        out = interleave(variants, rounds, lo=50, hi=50 + max(200, 9000 // B))
+                backend="pallas4"))
+        variants = {f"B{B}": jax.jit(mk, static_argnums=0)}
+        # contrast sized for ~1.8 s of kernel compute at every (n_fft, B)
+        us_guess = {512: 2.0, 1024: 3.0, 2048: 6.5, 4096: 26.0}[n_fft]
+        contrast = int(min(max(1.8e6 / (B * us_guess), 400), 40000))
+        out = interleave(variants, rounds, lo=50, hi=50 + contrast)
         us = out[f"B{B}"]
         print(json.dumps({
             "B": B, "clip_iters_per_sec": round(B * 1e6 / us, 1)}),
@@ -211,20 +227,28 @@ def sec_lbfgs(rounds):
     fn = log_mel_transform(n_fft=n_fft, n_mels=n_mels, sample_rate=SR)
     tgt = fn(jnp.asarray(x))
     variants = {
-        "lbfgs": lambda it: L_BFGS(
+        "fixed": lambda it: L_BFGS(
             tgt, fn, [x.size], outer_max_iter=it, max_iter=10, tol=0.0,
             verbose=False),
+        "wolfe": lambda it: L_BFGS(
+            tgt, fn, [x.size], outer_max_iter=it, max_iter=10, tol=0.0,
+            line_search_fn="strong_wolfe", verbose=False),
     }
     out = interleave(variants, rounds, lo=3, hi=12)
-    us = out["lbfgs"]
-    print(json.dumps({
-        "outer_it_per_sec": round(1e6 / us, 2),
-        "inner_it_per_sec": round(10 * 1e6 / us, 1)}), flush=True)
+    for name, us in out.items():
+        print(json.dumps({
+            "variant": name,
+            "outer_it_per_sec": round(1e6 / us, 2),
+            "inner_it_per_sec": round(10 * 1e6 / us, 1)}), flush=True)
 
 
 def sec_lbfgs_batch(rounds):
     """Batched-clip L-BFGS: jax.vmap over the whole solver (per-clip line
-    search + termination), B in {1, 4, 16}."""
+    search + termination), B in {1, 4, 16}.
+
+    Both step modes: fixed step (torch default — fori mode has static
+    bounds, so vmap lanes run in lockstep at no cost) and strong-Wolfe
+    (the zoom while_loop runs max-lane iterations under vmap)."""
     from specinv_tpu.models.lbfgs import run
     from specinv_tpu.ops.mel import log_mel_transform
 
@@ -239,19 +263,23 @@ def sec_lbfgs_batch(rounds):
         x0 = jnp.asarray(
             rng.standard_normal((B, SR * 10)).astype(np.float32) * 1e-6)
 
-        def solve(it):
-            def one(t, x0):
-                return run(
-                    t, x0, tol, fn, outer_max_iter=it, inner_max_iter=10,
-                    line_search=True, verbose=False, mode="fori")
-            return jax.vmap(one)(tgt, x0)
+        variants = {}
+        for ls, name in ((False, "fixed"), (True, "wolfe")):
+            def solve(it, ls=ls):
+                def one(t, x0):
+                    return run(
+                        t, x0, tol, fn, outer_max_iter=it,
+                        inner_max_iter=10, line_search=ls, verbose=False,
+                        mode="fori")
+                return jax.vmap(one)(tgt, x0)
+            variants[f"B{B}_{name}"] = solve
 
-        out = interleave({f"B{B}": solve}, rounds, lo=3, hi=12)
-        us = out[f"B{B}"]
-        print(json.dumps({
-            "B": B,
-            "aggregate_inner_it_per_sec": round(B * 10 * 1e6 / us, 1)}),
-            flush=True)
+        out = interleave(variants, rounds, lo=3, hi=12)
+        for name, us in out.items():
+            print(json.dumps({
+                "variant": name,
+                "aggregate_inner_it_per_sec": round(B * 10 * 1e6 / us, 1)}),
+                flush=True)
 
 
 def main():
