@@ -217,6 +217,40 @@ def _sec_batch_one(rounds, n_fft, win, rng):
             flush=True)
 
 
+def sec_seg(rounds):
+    """Segmented early-stop overhead on the lane engine (north star).
+
+    tol=0 + early_stop=True runs the full segment machinery (eva_iter=10
+    launches, mag-plane emission, XLA metric/stop pass) but never trips
+    the stop rule — so the marginal vs the single-launch path is pure
+    early-stop tax per iteration."""
+    from specinv_tpu.models.griffin_lim import run_tm_pallas4
+    from specinv_tpu.ops import stft as stft_ops
+
+    n_fft = 2048
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    cfg, w = canonicalize(
+        n_fft // 2 + 1, np.float32, window=win, pad_mode="constant")
+    wj = jnp.asarray(w)
+    rng = np.random.default_rng(7)
+    clip = rng.standard_normal((1, SR * 10)).astype(np.float32)
+    spec = stft_ops.stft(jnp.asarray(clip), cfg, wj)
+    mag_tm = jnp.abs(spec).astype(jnp.float32)
+    init_tm = spec.astype(jnp.complex64)
+    lr = jnp.float32(0.99 / 1.99)
+
+    def mk(early_stop):
+        def f(it):
+            return jnp.sum(run_tm_pallas4(
+                mag_tm, init_tm, wj, lr, jnp.float32(0.0), cfg,
+                max_iter=it, eva_iter=10, verbose=False,
+                early_stop=early_stop, mode="fori"))
+        return jax.jit(f, static_argnums=0)
+
+    variants = {"single": mk(False), "segmented": mk(True)}
+    interleave(variants, rounds, lo=1000, hi=21000)
+
+
 def sec_lbfgs(rounds):
     from specinv_tpu.models.lbfgs import L_BFGS
     from specinv_tpu.ops.mel import log_mel_transform
@@ -292,7 +326,7 @@ def main():
     for name, fn in (
         ("blockt", sec_blockt), ("admm", sec_admm), ("rtisi", sec_rtisi),
         ("batch", sec_batch), ("lbfgs", sec_lbfgs),
-        ("lbfgs_batch", sec_lbfgs_batch),
+        ("lbfgs_batch", sec_lbfgs_batch), ("seg", sec_seg),
     ):
         if only and name != only:
             continue
