@@ -240,14 +240,54 @@ def sec_seg(rounds):
     lr = jnp.float32(0.99 / 1.99)
 
     def mk(early_stop):
-        def f(it):
+        # arrays as jit ARGUMENTS: complex closure constants trip an
+        # UNIMPLEMENTED readback in the tunnel's constant embedding
+        def f(it, mag, init, w):
             return jnp.sum(run_tm_pallas4(
-                mag_tm, init_tm, wj, lr, jnp.float32(0.0), cfg,
+                mag, init, w, lr, jnp.float32(0.0), cfg,
                 max_iter=it, eva_iter=10, verbose=False,
                 early_stop=early_stop, mode="fori"))
-        return jax.jit(f, static_argnums=0)
+        g = jax.jit(f, static_argnums=0)
+        return lambda it: g(it, mag_tm, init_tm, wj)
 
     variants = {"single": mk(False), "segmented": mk(True)}
+
+    if "--decompose" in sys.argv:
+        # isolate the tax components: raw 10-iter relaunches (state
+        # in/out per segment, no metric glue), with and without the mag
+        # plane emission
+        from specinv_tpu.models._pallas_driver import (
+            make_geometry4, make_inv_env)
+        from specinv_tpu.ops import stft as stft_ops2  # noqa: F401
+        from specinv_tpu.ops.pallas import fft4
+        from specinv_tpu.ops.pallas.gl_fullrun4 import fused_gl_run
+
+        T = mag_tm.shape[1]
+        geo = make_geometry4(cfg, T, block_t=None)
+        inv_env = make_inv_env(cfg, wj, T, geo).astype(jnp.float32)
+        tgt_full = fft4.extend_hermitian_mag(mag_tm, n_fft)
+        pad_rows = lambda a: jnp.pad(  # noqa: E731
+            a, ((0, 0), (0, geo.t_pad - T), (0, 0)))
+        tgt_p = fft4.to_permuted(pad_rows(tgt_full), n_fft)
+        x0 = jnp.zeros((1, geo.lx), jnp.float32)
+
+        def chunks(with_mag):
+            def f(it, x0, tgt_p, w, env):
+                def body(i, st):
+                    out = fused_gl_run(
+                        st[0], st[1], st[2], tgt_p, w, env, lr, cfg,
+                        geo.e, n_iters=10, block_t=geo.block_t,
+                        emit_state=True, with_mag=with_mag)
+                    return out[:3]
+                st = jax.lax.fori_loop(
+                    0, it // 10, body, (x0, tgt_p, tgt_p * 0.25))
+                return jnp.sum(st[0])
+            g = jax.jit(f, static_argnums=0)
+            return lambda it: g(it, x0, tgt_p, wj, inv_env)
+
+        variants["chunk10_nomag"] = chunks(False)
+        variants["chunk10_mag"] = chunks(True)
+
     interleave(variants, rounds, lo=1000, hi=21000)
 
 

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate, iterate_segmented, stop_loss_fn
+from ..utils.runner import (
+    iterate, iterate_segmented, stats_eval_fns, stop_loss_fn,
+)
 from .common import prepare_spec_b3, restore_output, run_with_vmem_demotion
 from .griffin_lim import magnitude_project
 from .phase_init import phase_init_tm
@@ -273,9 +275,13 @@ def run_tm_pallas4(
     geo = make_geometry4(cfg, T, block_t=block_t)
     inv_env = make_inv_env(cfg, window, T, geo)
     with_mag = bool(early_stop or verbose)
+    # Scalar eval stats on the lane engine (see griffin_lim.run_tm_pallas4)
+    use_loss = (with_mag and gl_fullrun4.lane_active(cfg, geo.block_t)
+                and gl_fullrun4.stats_eval_enabled())
     if pack is None:
         pack = gl_fullrun4.choose_pack(
-            cfg, T, B, block_t=geo.block_t, with_mag=with_mag
+            cfg, T, B, block_t=geo.block_t,
+            with_mag=with_mag and not use_loss,
         )
     elif pack < 1 or B % pack:
         raise ValueError(f"pack={pack} must be >= 1 and divide the batch size {B}")
@@ -302,6 +308,7 @@ def run_tm_pallas4(
         else jax.lax.Precision.HIGHEST
     )
     win32 = window.astype(jnp.float32)
+    w_loss = gl_fullrun4.hermitian_loss_weight(cfg) if use_loss else None
 
     def make_seg(n_iters: int, seg_mag: bool):
         """``n_iters`` fused DR-ADMM iterations in ONE launch; see
@@ -314,9 +321,13 @@ def run_tm_pallas4(
                 x_pad, Yr, Yi, tgt, win, env, rho_, cfg, valid_t=T,
                 e=geo.e, n_iters=n_iters, block_t=geo.block_t,
                 interpret=interpret, precision=precision,
-                emit_state=True, with_mag=seg_mag, pack=pack,
+                emit_state=True, with_mag=seg_mag and not use_loss,
+                with_loss=seg_mag and use_loss, w_loss=w_loss, pack=pack,
             )
-            if seg_mag:
+            if seg_mag and use_loss:
+                x_pad, Yr, Yi, stats = out
+                mag = jnp.sum(stats[:, :2, 0], axis=0)
+            elif seg_mag:
                 x_pad, Yr, Yi, mag = out
             else:
                 x_pad, Yr, Yi = out
@@ -356,7 +367,7 @@ def run_tm_pallas4(
                 )
 
             _, vjp = jax.vjp(replay, state, tgt, win, env, rho_)
-            if not seg_mag:
+            if not seg_mag or use_loss:
                 st_ct, _ = cotangents
                 zero_mag = jnp.zeros(
                     (B, geo.t_pad, n_fft // 128, 128), jnp.float32
@@ -379,9 +390,19 @@ def run_tm_pallas4(
     # runner.iterate_segmented).
     eva_seg = make_seg(min(eva_iter, max_iter), True)
 
-    def seg_step(state):
-        state, mag = eva_seg(state, target_p, win32, inv_env, rho)
-        return state, fft4.from_permuted(mag, n_fft)[:, :T, :F]
+    if use_loss:
+        def seg_step(state):
+            return eva_seg(state, target_p, win32, inv_env, rho)
+
+        loss_fn, metric_fn = stats_eval_fns(
+            metric, target_tm.astype(jnp.float32), loss_psum_axes
+        )
+    else:
+        def seg_step(state):
+            state, mag = eva_seg(state, target_p, win32, inv_env, rho)
+            return state, fft4.from_permuted(mag, n_fft)[:, :T, :F]
+
+        loss_fn, metric_fn = stop_loss_fn(loss_psum_axes), None
 
     tail = max_iter % eva_iter
     tail_fn = None
@@ -402,7 +423,8 @@ def run_tm_pallas4(
         metric=metric,
         verbose=verbose,
         mode=mode,
-        loss_fn=stop_loss_fn(loss_psum_axes),
+        loss_fn=loss_fn,
+        metric_fn=metric_fn,
         remat=remat,
     )
     return state[0][..., geo.p_amt : geo.p_amt + geo.l_out]

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from ..config import STFTConfig
 from ..ops import fourier
 from ..ops.stft import istft, make_envelope, stft
-from ..utils.runner import iterate, iterate_segmented, stop_loss_fn
+from ..utils.runner import (
+    iterate, iterate_segmented, stats_eval_fns, stop_loss_fn,
+)
 from .common import prepare_spec_b3, restore_output, run_with_vmem_demotion
 from .phase_init import phase_init_tm
 
@@ -279,11 +281,19 @@ def run_tm_pallas4(
     geo = make_geometry4(cfg, T, block_t=block_t)
     inv_env = make_inv_env(cfg, window, T, geo)
     with_mag = bool(early_stop or verbose)
+    # Scalar eval stats: on the lane engine the eval segments emit two
+    # kernel-reduced sums instead of the full |stft(x)| plane (the plane
+    # emission + its XLA metric pass measured +12 µs/iter of the early-stop
+    # tax at the north star) — sc/snr/ser and the stop loss all derive from
+    # the sums.  Identical values up to f32 summation order.
+    use_loss = (with_mag and gl_fullrun4.lane_active(cfg, geo.block_t)
+                and gl_fullrun4.stats_eval_enabled())
     # Clip packing: short clips in a batch are folded into each grid step so
     # the MXU sees full row blocks (bitwise invariant; gl_fullrun4.choose_pack).
     if pack is None:
         pack = gl_fullrun4.choose_pack(
-            cfg, T, B, block_t=geo.block_t, with_mag=with_mag
+            cfg, T, B, block_t=geo.block_t,
+            with_mag=with_mag and not use_loss,
         )
     elif pack < 1 or B % pack:
         raise ValueError(f"pack={pack} must be >= 1 and divide the batch size {B}")
@@ -310,10 +320,13 @@ def run_tm_pallas4(
         else jax.lax.Precision.HIGHEST
     )
 
+    w_loss = gl_fullrun4.hermitian_loss_weight(cfg) if use_loss else None
+
     def make_seg(n_iters: int, seg_mag: bool):
         """A whole-segment step: ``n_iters`` fused iterations in ONE Pallas
         launch (state VMEM-resident), emitting the final momentum planes and,
-        for eval segments, the last iteration's pre-momentum magnitude.
+        for eval segments, the last iteration's pre-momentum magnitude (or,
+        on the lane engine, its kernel-reduced eval sums — ``use_loss``).
         Reverse-mode differentiates a lax.scan of the XLA twin, one residual
         set per iteration — the memory profile torch autograd would have."""
 
@@ -324,9 +337,15 @@ def run_tm_pallas4(
                 x_pad, pre_re, pre_im, tgt, win, env, lr_, cfg,
                 e=geo.e, n_iters=n_iters, block_t=geo.block_t,
                 interpret=interpret, precision=precision,
-                emit_state=True, with_mag=seg_mag, pack=pack,
+                emit_state=True, with_mag=seg_mag and not use_loss,
+                with_loss=seg_mag and use_loss, w_loss=w_loss,
+                valid_t=T if use_loss else 0, pack=pack,
             )
-            if seg_mag:
+            if seg_mag and use_loss:
+                x_pad, pre_re, pre_im, stats = out
+                # (G, 8, 128) scalar-broadcast rows -> global (2,) sums
+                mag = jnp.sum(stats[:, :2, 0], axis=0)
+            elif seg_mag:
                 x_pad, pre_re, pre_im, mag = out
             else:
                 x_pad, pre_re, pre_im = out
@@ -366,9 +385,11 @@ def run_tm_pallas4(
                 )
 
             _, vjp = jax.vjp(replay, state, tgt, win, env, lr_)
-            if not seg_mag:
+            if not seg_mag or use_loss:
                 # the twin returns the full magnitude plane; the kernel path
-                # returned a scalar dummy — discard its cotangent shape-safely
+                # returned a scalar dummy (or the eval-stats vector, which
+                # only feeds comparisons/display — zero cotangent either
+                # way) — discard its cotangent shape-safely
                 st_ct, _ = cotangents
                 zero_mag = jnp.zeros(
                     (B, geo.t_pad, n_fft // 128, 128), jnp.float32
@@ -394,9 +415,19 @@ def run_tm_pallas4(
     # with reference-exact stop semantics (see runner.iterate_segmented).
     eva_seg = make_seg(min(eva_iter, max_iter), True)
 
-    def seg_step(state):
-        state, mag = eva_seg(state, target_p, win32, inv_env, lr)
-        return state, fft4.from_permuted(mag, n_fft)[:, :T, :F]
+    if use_loss:
+        def seg_step(state):
+            return eva_seg(state, target_p, win32, inv_env, lr)
+
+        loss_fn, metric_fn = stats_eval_fns(
+            metric, target_tm.astype(jnp.float32), loss_psum_axes
+        )
+    else:
+        def seg_step(state):
+            state, mag = eva_seg(state, target_p, win32, inv_env, lr)
+            return state, fft4.from_permuted(mag, n_fft)[:, :T, :F]
+
+        loss_fn, metric_fn = stop_loss_fn(loss_psum_axes), None
 
     tail = max_iter % eva_iter
     tail_fn = None
@@ -417,7 +448,8 @@ def run_tm_pallas4(
         metric=metric,
         verbose=verbose,
         mode=mode,
-        loss_fn=stop_loss_fn(loss_psum_axes),
+        loss_fn=loss_fn,
+        metric_fn=metric_fn,
         remat=remat,
     )
     x_pad = state[0]

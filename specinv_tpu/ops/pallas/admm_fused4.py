@@ -406,7 +406,8 @@ def fused_admm_run(
     x_pad, Y_re, Y_im, target, window, inv_env, rho,
     cfg: STFTConfig, valid_t: int, e: int, n_iters: int, block_t: int = 64,
     interpret: bool = False, precision=jax.lax.Precision.HIGH,
-    emit_state: bool = False, with_mag: bool = False, pack: int = 1,
+    emit_state: bool = False, with_mag: bool = False,
+    with_loss: bool = False, w_loss=None, pack: int = 1,
 ):
     """Run ``n_iters`` fused ADMM iterations in one launch -> final x_pad.
 
@@ -423,15 +424,21 @@ def fused_admm_run(
     see gl_fullrun4.fused_gl_run / choose_pack).
     """
     from .fullrun_lane import fused_run_lane
-    from .fullrun_lane import supports as lane_supports
+    from .gl_fullrun4 import lane_active
 
-    if lane_supports(cfg) and block_t >= cfg.n_fft // cfg.hop_length - 1:
+    if lane_active(cfg, block_t):
         # lane-major + hop-row-slab engine (see fullrun_lane module docstring)
         return fused_run_lane(
             "admm", x_pad, Y_re, Y_im, target, window, inv_env, rho, cfg,
             e, n_iters, valid_t=valid_t, block_t=block_t,
             interpret=interpret, precision=precision,
-            emit_state=emit_state, with_mag=with_mag, pack=pack,
+            emit_state=emit_state, with_mag=with_mag,
+            with_loss=with_loss, w_loss=w_loss, pack=pack,
+        )
+    if with_loss:
+        raise ValueError(
+            "with_loss requires the lane-major engine; callers gate on "
+            "gl_fullrun4.lane_active()"
         )
 
     B, t_pad, m, lanes = target.shape

@@ -197,6 +197,7 @@ def _kernel(
     n_iters: int,
     emit_state: bool,
     with_mag: bool,
+    with_loss: bool,
     t_blocked: bool,
     pack: int,
     valid_t: int,
@@ -205,7 +206,11 @@ def _kernel(
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
     win_ref, env_ref, jrev_ref = rest[ntab : ntab + 3]
-    outs = rest[ntab + 3 :]
+    j = ntab + 3
+    if with_loss:
+        wloss_ref = rest[j]
+        j += 1
+    outs = rest[j:]
     x_out_ref = outs[0]
     k = 1
     if emit_state:
@@ -213,6 +218,9 @@ def _kernel(
         k += 2
     if with_mag:
         mag_ref = outs[k]
+        k += 1
+    if with_loss:
+        loss_ref = outs[k]
         k += 1
     slab_s, st_re_s, st_im_s, tail_s = outs[k:]
 
@@ -267,16 +275,41 @@ def _kernel(
 
     s_re, s_im = fft4.fwd4_lane(frames, tables, fwd_p, leaf_dots)
 
-    if with_mag:
+    if with_mag or with_loss:
         # Metric output = pre-update |stft(x)| (methods.py:242 / 464-465),
         # only needed for the final (eval) iteration of the launch.
         @pl.when(i == n_iters - 1)
         def _emit_mag():
             mg = jnp.sqrt(s_re * s_re + s_im * s_im)
-            if t_blocked:
-                mag_ref[0] = mg
-            else:
-                mag_ref[0, sl] = mg
+            if with_mag:
+                if t_blocked:
+                    mag_ref[0] = mg
+                else:
+                    mag_ref[0, sl] = mg
+            if with_loss:
+                # Scalar eval stats instead of the full magnitude plane:
+                # row 0 = sum w*(|S|-tgt)^2, row 1 = sum w*|S|^2, over the
+                # valid (unpadded) frame rows — w is the Hermitian onesided
+                # weight (0.5 off the DC/Nyquist lanes), so the sums equal
+                # the XLA path's onesided-trimmed reductions exactly (up to
+                # f32 summation order).  sc/snr/ser and the stop loss are
+                # all derivable from these two plus a target constant.
+                rows = pack * block_t
+                local = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, n_fft), 0)
+                if rows != block_t:
+                    local = jax.lax.rem(local, jnp.int32(block_t))
+                mgv = jnp.where((t0 + local) < valid_t, mg, jnp.float32(0.0))
+                w = wloss_ref[0, :]
+                d = mgv - _plane(tgt_ref)  # tgt is zero on padded rows
+                s0 = jnp.sum(w * d * d)
+                s1 = jnp.sum(w * mgv * mgv)
+                part = jnp.concatenate(
+                    [jnp.full((1, LANE), s0, jnp.float32),
+                     jnp.full((1, LANE), s1, jnp.float32),
+                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
+                prev = jnp.where(t == 0, jnp.float32(0.0), loss_ref[0])
+                loss_ref[0] = prev + part
 
     scalar = scalar_ref[0, 0]
     if algo == "gl":
@@ -413,14 +446,22 @@ def fused_run_lane(
     precision=jax.lax.Precision.HIGH,
     emit_state: bool = False,
     with_mag: bool = False,
+    with_loss: bool = False,
+    w_loss: jnp.ndarray | None = None,  # (n_fft,) lane-flat Hermitian weight
     pack: int = 1,
     leaf_dots: bool = True,
 ):
     """Run ``n_iters`` fused iterations in one launch -> final x_pad (B, Lx).
 
     Same contract as gl_fullrun4.fused_gl_run / admm_fused4.fused_admm_run
-    (return order ``x[, st_re, st_im][, mag]``, permuted (m, 128) planes at
-    the boundary); the lane-flat and hop-row layouts are internal.
+    (return order ``x[, st_re, st_im][, mag][, stats]``, permuted (m, 128)
+    planes at the boundary); the lane-flat and hop-row layouts are internal.
+
+    ``with_loss`` emits per-group eval stats (G, 8, 128) instead of (or next
+    to) the magnitude plane: row 0 broadcasts ``sum w*(|S|-tgt)^2``, row 1
+    ``sum w*|S|^2`` over the ``valid_t`` unpadded rows — enough for the stop
+    loss and all three metrics without a plane readback (kernel docstring).
+    Requires ``w_loss`` and ``valid_t > 0``.
     """
     B, t_pad, m, lanes = target.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
@@ -484,13 +525,17 @@ def fused_run_lane(
     else:
         jrev = np.zeros((8, LANE), np.float32)
 
+    if with_loss:
+        assert w_loss is not None and valid_t > 0
+
     fwd_p, inv_p = split_schemes(precision)
     kernel = functools.partial(
         _kernel, algo=algo, block_t=block_t, n_fft=n_fft, hop=hop,
         K=K, ext=ext, rows_c=rows_c,
         pad_mode=pad_mode, p_amt=p_amt, e=e,
         fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, n_iters=n_iters,
-        emit_state=emit_state, with_mag=with_mag, t_blocked=t_blocked,
+        emit_state=emit_state, with_mag=with_mag, with_loss=with_loss,
+        t_blocked=t_blocked,
         pack=pack, valid_t=valid_t, leaf_dots=leaf_dots,
     )
     grid = (G, n_iters, n_t)
@@ -513,11 +558,26 @@ def fused_run_lane(
     if with_mag:
         out_specs.append(blk)
         out_shape.append(plane)
+    if with_loss:
+        out_specs.append(
+            pl.BlockSpec((1, 8, LANE), lambda b, i, t: (b, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((G, 8, LANE), jnp.float32))
+
+    # Donate the state buffers: x0 -> x (always; both are fetched/flushed
+    # once per group at (b, 0, 0)) and st0 -> st when plane-resident (the
+    # t-blocked layout revisits input blocks every iteration, so an
+    # aliased output flush could race a later prefetch of the same HBM).
+    # Segment-relaunch chains (early-stop runs) then recycle the planes
+    # in place instead of allocating + copying per launch.
+    aliases = {1: 0}
+    if emit_state and not t_blocked:
+        aliases.update({3: 1, 4: 2})
 
     macs_frame = 2 * (2 * m * LANE * LANE + 4 * LANE * m * m)
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        input_output_aliases=aliases,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # scalar
             sig,                                                 # x0
@@ -529,6 +589,8 @@ def fused_run_lane(
             pl.BlockSpec((1, n_fft), lambda b, i, t: (0, 0)),    # window
             env_spec,                                            # inv_env
             pl.BlockSpec(jrev.shape, lambda b, i, t: (0, 0)),    # jrev
+            *([pl.BlockSpec((1, n_fft), lambda b, i, t: (0, 0))]
+              if with_loss else []),                             # w_loss
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -557,8 +619,14 @@ def fused_run_lane(
         jnp.asarray(window, jnp.float32).reshape(1, n_fft),
         env_rows(jnp.asarray(inv_env)),
         jnp.asarray(jrev),
+        *([jnp.asarray(w_loss, jnp.float32).reshape(1, n_fft)]
+          if with_loss else []),
     )
     x_fin = out[0].reshape(B, rows_c * hop)[:, :lx]
-    if not emit_state and not with_mag:
+    if not emit_state and not with_mag and not with_loss:
         return x_fin
-    return (x_fin, *[unpack_planes(o) for o in out[1:]])
+    n_planes = len(out) - 1 - (1 if with_loss else 0)
+    res = [x_fin, *[unpack_planes(o) for o in out[1 : 1 + n_planes]]]
+    if with_loss:
+        res.append(out[-1])  # (G, 8, 128) stats, rows 0-1 scalar-broadcast
+    return tuple(res)

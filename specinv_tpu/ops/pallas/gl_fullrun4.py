@@ -361,6 +361,41 @@ def _kernel(
             x_out_ref[0, pl.ds(c, 1)] = x_s[pl.ds(wr, 1), pl.ds(c * lxc, lxc)]
 
 
+def lane_active(cfg: STFTConfig, block_t: int) -> bool:
+    """True when :func:`fused_gl_run` / ``fused_admm_run`` will dispatch to
+    the lane-major engine (fullrun_lane.supports + the hop-row-slab block
+    bound).  Drivers gate the scalar ``with_loss`` eval path on this."""
+    from .fullrun_lane import supports as lane_supports
+
+    return lane_supports(cfg) and block_t >= cfg.n_fft // cfg.hop_length - 1
+
+
+def stats_eval_enabled() -> bool:
+    """A/B safety valve for the scalar eval-stats path
+    (``SPECINV_FULLRUN_STATS=0`` reverts eval segments to magnitude-plane
+    emission + XLA metric reductions; values match up to f32 sum order)."""
+    import os
+
+    return os.environ.get("SPECINV_FULLRUN_STATS", "1") != "0"
+
+
+def hermitian_loss_weight(cfg: STFTConfig) -> np.ndarray:
+    """Lane-flat weight vector making full-spectrum eval sums equal the
+    onesided-trimmed XLA reductions: 0.5 on Hermitian-mirrored bins, 1.0 on
+    DC/Nyquist (or all-ones for two-sided configs), permuted to the
+    four-step layout's lane-flat column order."""
+    n_fft = cfg.n_fft
+    if cfg.onesided:
+        w = np.full(n_fft, 0.5, np.float32)
+        w[0] = 1.0
+        w[n_fft // 2] = 1.0
+    else:
+        w = np.ones(n_fft, np.float32)
+    # pure-numpy fft4.to_permuted (out[d, e] = w[d + m*e]), lane-flattened
+    m = n_fft // LANE
+    return np.ascontiguousarray(w.reshape(LANE, m).T).reshape(n_fft)
+
+
 def fused_gl_run(
     x_pad: jnp.ndarray,      # (B, Lx) float32, padded coords
     pre_re: jnp.ndarray,     # (B, t_pad, m, 128)
@@ -377,6 +412,9 @@ def fused_gl_run(
     precision=jax.lax.Precision.HIGH,
     emit_state: bool = False,
     with_mag: bool = False,
+    with_loss: bool = False,
+    w_loss: jnp.ndarray | None = None,
+    valid_t: int = 0,
     pack: int = 1,
 ):
     """Run ``n_iters`` fused GL iterations in one launch -> final x_pad (B, Lx).
@@ -405,16 +443,21 @@ def fused_gl_run(
     streamed layout cannot fit (the caller demotes backends).
     """
     from .fullrun_lane import fused_run_lane
-    from .fullrun_lane import supports as lane_supports
 
-    if lane_supports(cfg) and block_t >= cfg.n_fft // cfg.hop_length - 1:
+    if lane_active(cfg, block_t):
         # lane-major + hop-row-slab engine: no sublane relayouts in the hot
         # path, ~4x the (m, 128) kernel at the north star (module docstring)
         return fused_run_lane(
             "gl", x_pad, pre_re, pre_im, target, window, inv_env, lr, cfg,
             e, n_iters, block_t=block_t, interpret=interpret,
             precision=precision, emit_state=emit_state, with_mag=with_mag,
+            with_loss=with_loss, w_loss=w_loss, valid_t=valid_t,
             pack=pack,
+        )
+    if with_loss:
+        raise ValueError(
+            "with_loss requires the lane-major engine (hop | n_fft and "
+            "block_t >= n_fft/hop - 1); callers gate on lane_active()"
         )
 
     B, t_pad, m, lanes = target.shape

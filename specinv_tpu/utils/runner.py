@@ -63,6 +63,42 @@ def stop_loss_fn(axes):
     when mesh ``axes`` are given, else the default local MSE (None)."""
     return psum_mse(axes) if axes else None
 
+
+def stats_eval_fns(metric: str, target, axes=None):
+    """``(loss_fn, metric_fn)`` for segments whose eval output is the
+    kernel-reduced stats vector ``[sum (|S|-tgt)^2, sum |S|^2]`` (see
+    fullrun_lane ``with_loss``) instead of the magnitude plane.
+
+    The stop loss is the same MSE as the array path — ``stats[0]`` over the
+    element count (psum'd across mesh ``axes`` under shard_map, reproducing
+    :func:`psum_mse`) — and all three metrics derive from the two sums plus
+    the target's own sum of squares (metrics.py formulas; for SNR note the
+    reference normalizes both sides by the *target* norm, so it reduces to
+    ``-10*log10(sum_diff2 / sum_tgt2)``).  Values match the array path up
+    to f32 summation order.
+    """
+    get_metric(metric)  # validate the name (same error surface as iterate)
+    n_local = jnp.float32(target.size)
+    tgt_ss = jnp.sum(jnp.square(target.astype(jnp.float32)))
+
+    def loss_fn(stats, _tgt):
+        num, cnt = stats[0], n_local
+        if axes:
+            num = jax.lax.psum(num, axes)
+            cnt = jax.lax.psum(cnt, axes)
+        return num / cnt
+
+    key = metric.upper()
+
+    def metric_fn(stats, _tgt):
+        if key == "SC":
+            return 10 * (jnp.log10(stats[0]) - jnp.log10(tgt_ss))
+        if key == "SNR":
+            return -10 * (jnp.log10(stats[0]) - jnp.log10(tgt_ss))
+        return 10 * (jnp.log10(stats[1]) - jnp.log10(stats[0]))  # SER
+
+    return loss_fn, metric_fn
+
 def _progress_print(i, metric_name, metric_val, loss):
     print(f"iter {int(i) + 1}: {metric_name}={float(metric_val):.4f} loss={float(loss):.3e}")
 
@@ -271,6 +307,7 @@ def iterate_segmented(
     metric: str = "sc",
     verbose: bool = False,
     loss_fn: Callable = None,
+    metric_fn: Callable = None,
     mode: str = "fori",
     remat: bool = False,
 ):
@@ -289,10 +326,16 @@ def iterate_segmented(
     state once the stop fires (remaining segments still execute, frozen).
     ``mode='while'`` actually exits at the stop boundary — fastest for
     inference, not reverse-differentiable (same trade as :func:`iterate`).
+
+    ``loss_fn``/``metric_fn`` both receive ``(out, target)`` where ``out``
+    is whatever ``seg_fn`` returned as its second element — an eval array
+    by default, or a kernel-emitted stats vector on the scalar-loss path
+    (the drivers then pass closures deriving loss/metric from the sums).
     """
     assert eva_iter > 0 and max_iter > 0
     verbose = gate_verbose(verbose)
-    metric_fn = get_metric(metric)
+    if metric_fn is None:
+        metric_fn = get_metric(metric)
     if loss_fn is None:
         loss_fn = _mse
     if remat:

@@ -62,6 +62,82 @@ def test_parity_early_stop(backend):
 
 
 @pytest.mark.parametrize("algo", ["gl", "admm"])
+def test_stats_eval_path_matches_mag_plane(algo, monkeypatch):
+    """The lane engine's scalar eval-stats path (with_loss — stop loss +
+    metric from two kernel-reduced sums) must produce the same waveform as
+    the magnitude-plane path, INCLUDING the early-stop decision (tol=1.0
+    trips the stop at the first improving eval)."""
+    from specinv_tpu import ADMM
+
+    fn = ADMM if algo == "admm" else griffin_lim
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    kw = dict(hop_length=128, max_iter=40, tol=1.0, eva_iter=5,
+              verbose=False, backend="pallas4")
+    a = np.asarray(fn(spec, **kw))
+    monkeypatch.setenv("SPECINV_FULLRUN_STATS", "0")
+    b = np.asarray(fn(spec, **kw))
+    np.testing.assert_allclose(b, a, atol=0)
+
+
+def test_stats_eval_sums_match_xla_reductions():
+    """Kernel-emitted eval sums equal the XLA path's onesided-trimmed
+    reductions (up to f32 summation order), and the stats-derived metrics
+    equal metrics.sc/snr/ser on the magnitude plane."""
+    from specinv_tpu import metrics
+    from specinv_tpu.models._pallas_driver import make_geometry4, make_inv_env
+    from specinv_tpu.ops import stft as stft_ops
+    from specinv_tpu.ops.pallas import fft4
+    from specinv_tpu.ops.pallas.gl_fullrun4 import (
+        fused_gl_run, hermitian_loss_weight,
+    )
+    from specinv_tpu.utils.runner import stats_eval_fns
+
+    rng = np.random.default_rng(1)
+    n_fft = 512
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    cfg, w = canonicalize(n_fft // 2 + 1, np.float32, window=win)
+    wj = jnp.asarray(w)
+    clips = rng.standard_normal((2, 8000)).astype(np.float32)
+    mag_tm = jnp.abs(stft_ops.stft(jnp.asarray(clips), cfg, wj)).astype(
+        jnp.float32
+    )
+    B, T, F = mag_tm.shape
+    geo = make_geometry4(cfg, T, block_t=None)
+    inv_env = make_inv_env(cfg, wj, T, geo).astype(jnp.float32)
+    tgt_p = fft4.to_permuted(
+        jnp.pad(fft4.extend_hermitian_mag(mag_tm, n_fft),
+                ((0, 0), (0, geo.t_pad - T), (0, 0))), n_fft)
+    x0 = jnp.asarray(rng.standard_normal((B, geo.lx)).astype(np.float32) * 0.1)
+    lr = jnp.float32(0.5)
+    common = dict(n_iters=5, block_t=geo.block_t, emit_state=True,
+                  interpret=True)
+
+    *_, stats = fused_gl_run(
+        x0, tgt_p, tgt_p * 0.25, tgt_p, wj, inv_env, lr, cfg, geo.e,
+        with_loss=True, w_loss=hermitian_loss_weight(cfg), valid_t=T,
+        **common)
+    s = jnp.sum(stats[:, :2, 0], axis=0)
+    *_, mag_p = fused_gl_run(
+        x0, tgt_p, tgt_p * 0.25, tgt_p, wj, inv_env, lr, cfg, geo.e,
+        with_mag=True, **common)
+    mag = fft4.from_permuted(mag_p, n_fft)[:, :T, :F]
+
+    np.testing.assert_allclose(
+        float(s[0]), float(jnp.sum((mag - mag_tm) ** 2)), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(s[1]), float(jnp.sum(mag**2)), rtol=1e-5)
+    for m in ("sc", "snr", "ser"):
+        loss_fn, metric_fn = stats_eval_fns(m, mag_tm, None)
+        np.testing.assert_allclose(
+            float(metric_fn(s, None)),
+            float(getattr(metrics, m)(mag, mag_tm)), atol=1e-4)
+        np.testing.assert_allclose(
+            float(loss_fn(s, None)),
+            float(jnp.mean((mag - mag_tm) ** 2)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("algo", ["gl", "admm"])
 def test_pallas4_while_mode_early_exit(algo):
     """mode='while' on the segmented pallas4 path actually exits at the stop
     boundary — result matches the done-masked fori mode exactly (the mask
