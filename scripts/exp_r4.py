@@ -239,18 +239,27 @@ def sec_seg(rounds):
     init_tm = spec.astype(jnp.complex64)
     lr = jnp.float32(0.99 / 1.99)
 
-    def mk(early_stop):
+    def mk(early_stop, stats_eval=None):
         # arrays as jit ARGUMENTS: complex closure constants trip an
         # UNIMPLEMENTED readback in the tunnel's constant embedding
         def f(it, mag, init, w):
             return jnp.sum(run_tm_pallas4(
                 mag, init, w, lr, jnp.float32(0.0), cfg,
                 max_iter=it, eva_iter=10, verbose=False,
-                early_stop=early_stop, mode="fori"))
+                early_stop=early_stop, mode="fori",
+                stats_eval=stats_eval))
         g = jax.jit(f, static_argnums=0)
         return lambda it: g(it, mag_tm, init_tm, wj)
 
     variants = {"single": mk(False), "segmented": mk(True)}
+
+    if "--stats-ab" in sys.argv:
+        # Same-session A/B of the scalar eval-stats path vs the magnitude
+        # plane + XLA metric pass (stats_eval is a static arg — two
+        # separate compiles, no env staging needed).
+        variants = {"single": mk(False),
+                    "seg_stats": mk(True, stats_eval=True),
+                    "seg_plane": mk(True, stats_eval=False)}
 
     if "--decompose" in sys.argv:
         # isolate the tax components: raw 10-iter relaunches (state

@@ -238,7 +238,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat", "stats_eval"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -259,6 +259,7 @@ def run_tm_pallas4(
     mode: str = "fori",
     pack: int | None = None,
     remat: bool = False,
+    stats_eval: bool | None = None,
 ) -> jnp.ndarray:
     """ADMM driven by the four-step fused kernels (ops/pallas/admm_fused4):
     Hermitian-extended full-spectrum iteration in permuted layout; the
@@ -275,9 +276,13 @@ def run_tm_pallas4(
     geo = make_geometry4(cfg, T, block_t=block_t)
     inv_env = make_inv_env(cfg, window, T, geo)
     with_mag = bool(early_stop or verbose)
-    # Scalar eval stats on the lane engine (see griffin_lim.run_tm_pallas4)
-    use_loss = (with_mag and gl_fullrun4.lane_active(cfg, geo.block_t)
-                and gl_fullrun4.stats_eval_enabled())
+    # Scalar eval stats on the lane engine; stats_eval must be STATIC — an
+    # env read inside this jitted body would be pinned by the first trace
+    # (see griffin_lim.run_tm_pallas4).
+    if stats_eval is None:
+        stats_eval = gl_fullrun4.stats_eval_enabled()
+    use_loss = (with_mag and stats_eval
+                and gl_fullrun4.lane_active(cfg, geo.block_t))
     if pack is None:
         pack = gl_fullrun4.choose_pack(
             cfg, T, B, block_t=geo.block_t,
@@ -432,7 +437,7 @@ def run_tm_pallas4(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "pack", "remat"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "pack", "remat", "stats_eval"),
 )
 def _full_run(
     spec_b3: jnp.ndarray,
@@ -451,6 +456,7 @@ def _full_run(
     loss_psum_axes=None,
     pack=None,
     remat: bool = False,
+    stats_eval: bool | None = None,
 ) -> jnp.ndarray:
     if pack is not None and backend != "pallas4":
         # Fail-loud (see griffin_lim._full_run): packing is a whole-run-
@@ -483,6 +489,7 @@ def _full_run(
             loss_psum_axes=loss_psum_axes,
             pack=pack,
             remat=remat,
+            stats_eval=stats_eval,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -579,6 +586,8 @@ def ADMM(
                 "hop % 128 == 0, real window; use backend='auto' instead"
             )
     real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
+    # Eager env read, passed down as a static arg (see griffin_lim).
+    from ..ops.pallas.gl_fullrun4 import stats_eval_enabled
 
     def launch(bk):
         return _full_run(
@@ -598,6 +607,7 @@ def ADMM(
             loss_psum_axes=loss_psum_axes,
             pack=pack,
             remat=remat,
+            stats_eval=stats_eval_enabled(),
         )
 
     x = run_with_vmem_demotion(

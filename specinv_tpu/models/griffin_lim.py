@@ -240,7 +240,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat", "stats_eval"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -261,6 +261,7 @@ def run_tm_pallas4(
     mode: str = "fori",
     pack: int | None = None,
     remat: bool = False,
+    stats_eval: bool | None = None,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the four-step fused kernel (ops/pallas/gl_fused4).
 
@@ -282,12 +283,17 @@ def run_tm_pallas4(
     inv_env = make_inv_env(cfg, window, T, geo)
     with_mag = bool(early_stop or verbose)
     # Scalar eval stats: on the lane engine the eval segments emit two
-    # kernel-reduced sums instead of the full |stft(x)| plane (the plane
-    # emission + its XLA metric pass measured +12 µs/iter of the early-stop
-    # tax at the north star) — sc/snr/ser and the stop loss all derive from
-    # the sums.  Identical values up to f32 summation order.
-    use_loss = (with_mag and gl_fullrun4.lane_active(cfg, geo.block_t)
-                and gl_fullrun4.stats_eval_enabled())
+    # kernel-reduced sums instead of the full |stft(x)| plane — sc/snr/ser
+    # and the stop loss all derive from the sums.  Identical values up to
+    # f32 summation order; shrinks the eval readback from a plane to 8 KB.
+    # stats_eval must be a STATIC arg (not an env read inside this jitted
+    # body): this function's cache key would otherwise pin whichever value
+    # the first trace saw.  None = read SPECINV_FULLRUN_STATS at trace time
+    # (fine for direct callers; the public wrappers pass the eager read).
+    if stats_eval is None:
+        stats_eval = gl_fullrun4.stats_eval_enabled()
+    use_loss = (with_mag and stats_eval
+                and gl_fullrun4.lane_active(cfg, geo.block_t))
     # Clip packing: short clips in a batch are folded into each grid step so
     # the MXU sees full row blocks (bitwise invariant; gl_fullrun4.choose_pack).
     if pack is None:
@@ -461,7 +467,7 @@ def run_tm_pallas4(
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
         "interpret", "early_stop", "precision", "loss_psum_axes", "pack",
-        "remat",
+        "remat", "stats_eval",
     ),
 )
 def _full_run(
@@ -482,6 +488,7 @@ def _full_run(
     loss_psum_axes=None,
     pack=None,
     remat: bool = False,
+    stats_eval: bool | None = None,
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
@@ -517,6 +524,7 @@ def _full_run(
             loss_psum_axes=loss_psum_axes,
             pack=pack,
             remat=remat,
+            stats_eval=stats_eval,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -627,6 +635,10 @@ def griffin_lim(
                 "hop % 128 == 0, real window; use backend='auto' instead"
             )
     real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
+    # Read the stats-path toggle HERE (eager, per call) and pass it down as
+    # a static arg — an env read inside the jitted body would be pinned by
+    # the first trace's cache entry.
+    from ..ops.pallas.gl_fullrun4 import stats_eval_enabled
 
     def launch(bk):
         return _full_run(
@@ -647,6 +659,7 @@ def griffin_lim(
             loss_psum_axes=loss_psum_axes,
             pack=pack,
             remat=remat,
+            stats_eval=stats_eval_enabled(),
         )
 
     x = run_with_vmem_demotion(
