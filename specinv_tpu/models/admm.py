@@ -238,7 +238,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat", "stats_eval"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat", "stats_eval", "lane"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -260,6 +260,7 @@ def run_tm_pallas4(
     pack: int | None = None,
     remat: bool = False,
     stats_eval: bool | None = None,
+    lane: bool | None = None,
 ) -> jnp.ndarray:
     """ADMM driven by the four-step fused kernels (ops/pallas/admm_fused4):
     Hermitian-extended full-spectrum iteration in permuted layout; the
@@ -281,8 +282,9 @@ def run_tm_pallas4(
     # (see griffin_lim.run_tm_pallas4).
     if stats_eval is None:
         stats_eval = gl_fullrun4.stats_eval_enabled()
+    # lane gets the same static-arg treatment (see griffin_lim.run_tm_pallas4)
     use_loss = (with_mag and stats_eval
-                and gl_fullrun4.lane_active(cfg, geo.block_t))
+                and gl_fullrun4.lane_active(cfg, geo.block_t, lane))
     if pack is None:
         pack = gl_fullrun4.choose_pack(
             cfg, T, B, block_t=geo.block_t,
@@ -328,6 +330,7 @@ def run_tm_pallas4(
                 interpret=interpret, precision=precision,
                 emit_state=True, with_mag=seg_mag and not use_loss,
                 with_loss=seg_mag and use_loss, w_loss=w_loss, pack=pack,
+                lane=lane,
             )
             if seg_mag and use_loss:
                 x_pad, Yr, Yi, stats = out

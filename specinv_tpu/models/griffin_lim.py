@@ -240,7 +240,7 @@ def run_tm_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat", "stats_eval"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "block_t", "interpret", "early_stop", "precision", "mode", "loss_psum_axes", "pack", "remat", "stats_eval", "lane"),
 )
 def run_tm_pallas4(
     target_tm: jnp.ndarray,
@@ -262,6 +262,7 @@ def run_tm_pallas4(
     pack: int | None = None,
     remat: bool = False,
     stats_eval: bool | None = None,
+    lane: bool | None = None,
 ) -> jnp.ndarray:
     """Griffin-Lim driven by the four-step fused kernel (ops/pallas/gl_fused4).
 
@@ -292,8 +293,10 @@ def run_tm_pallas4(
     # (fine for direct callers; the public wrappers pass the eager read).
     if stats_eval is None:
         stats_eval = gl_fullrun4.stats_eval_enabled()
+    # lane gets the same static-arg treatment (ADVICE r4: an env read inside
+    # supports() under this jit pins the valve at first trace per shape).
     use_loss = (with_mag and stats_eval
-                and gl_fullrun4.lane_active(cfg, geo.block_t))
+                and gl_fullrun4.lane_active(cfg, geo.block_t, lane))
     # Clip packing: short clips in a batch are folded into each grid step so
     # the MXU sees full row blocks (bitwise invariant; gl_fullrun4.choose_pack).
     if pack is None:
@@ -345,7 +348,7 @@ def run_tm_pallas4(
                 interpret=interpret, precision=precision,
                 emit_state=True, with_mag=seg_mag and not use_loss,
                 with_loss=seg_mag and use_loss, w_loss=w_loss,
-                valid_t=T if use_loss else 0, pack=pack,
+                valid_t=T if use_loss else 0, pack=pack, lane=lane,
             )
             if seg_mag and use_loss:
                 x_pad, pre_re, pre_im, stats = out
@@ -467,7 +470,7 @@ def run_tm_pallas4(
     static_argnames=(
         "cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend",
         "interpret", "early_stop", "precision", "loss_psum_axes", "pack",
-        "remat", "stats_eval",
+        "remat", "stats_eval", "lane",
     ),
 )
 def _full_run(
@@ -489,6 +492,7 @@ def _full_run(
     pack=None,
     remat: bool = False,
     stats_eval: bool | None = None,
+    lane: bool | None = None,
 ) -> jnp.ndarray:
     """Whole pipeline (layout transpose + phase seed + loop) in one jit —
     avoids per-call eager dispatch overhead on the wrapper path."""
@@ -525,6 +529,7 @@ def _full_run(
             pack=pack,
             remat=remat,
             stats_eval=stats_eval,
+            lane=lane,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -635,10 +640,10 @@ def griffin_lim(
                 "hop % 128 == 0, real window; use backend='auto' instead"
             )
     real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
-    # Read the stats-path toggle HERE (eager, per call) and pass it down as
-    # a static arg — an env read inside the jitted body would be pinned by
-    # the first trace's cache entry.
-    from ..ops.pallas.gl_fullrun4 import stats_eval_enabled
+    # Read the stats-path and lane-engine toggles HERE (eager, per call) and
+    # pass them down as static args — an env read inside the jitted body
+    # would be pinned by the first trace's cache entry.
+    from ..ops.pallas.gl_fullrun4 import lane_enabled, stats_eval_enabled
 
     def launch(bk):
         return _full_run(
@@ -660,6 +665,7 @@ def griffin_lim(
             pack=pack,
             remat=remat,
             stats_eval=stats_eval_enabled(),
+            lane=lane_enabled(),
         )
 
     x = run_with_vmem_demotion(

@@ -527,7 +527,11 @@ def run_tm(
                 )
                 new_state, com = launch_m(state, blk)  # com (kpl, B, n_fft)
                 if verbose:
-                    report(i0 + kpl - 1)
+                    # Clamp to the real frame total: the last launch is
+                    # zero-padded (i0 + kpl can reach total + extra), and an
+                    # out-of-range index would skip the final "frame N/N"
+                    # line (ADVICE r4).
+                    report(jnp.minimum(i0 + kpl, steps + la) - 1)
                 return new_state, com
 
             _, out = jax.lax.scan(

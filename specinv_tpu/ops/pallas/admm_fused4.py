@@ -408,6 +408,7 @@ def fused_admm_run(
     interpret: bool = False, precision=jax.lax.Precision.HIGH,
     emit_state: bool = False, with_mag: bool = False,
     with_loss: bool = False, w_loss=None, pack: int = 1,
+    lane: bool | None = None,
 ):
     """Run ``n_iters`` fused ADMM iterations in one launch -> final x_pad.
 
@@ -426,7 +427,7 @@ def fused_admm_run(
     from .fullrun_lane import fused_run_lane
     from .gl_fullrun4 import lane_active
 
-    if lane_active(cfg, block_t):
+    if lane_active(cfg, block_t, lane):
         # lane-major + hop-row-slab engine (see fullrun_lane module docstring)
         return fused_run_lane(
             "admm", x_pad, Y_re, Y_im, target, window, inv_env, rho, cfg,

@@ -361,13 +361,29 @@ def _kernel(
             x_out_ref[0, pl.ds(c, 1)] = x_s[pl.ds(wr, 1), pl.ds(c * lxc, lxc)]
 
 
-def lane_active(cfg: STFTConfig, block_t: int) -> bool:
+def lane_active(
+    cfg: STFTConfig, block_t: int, lane: bool | None = None
+) -> bool:
     """True when :func:`fused_gl_run` / ``fused_admm_run`` will dispatch to
     the lane-major engine (fullrun_lane.supports + the hop-row-slab block
-    bound).  Drivers gate the scalar ``with_loss`` eval path on this."""
+    bound).  Drivers gate the scalar ``with_loss`` eval path on this.
+
+    ``lane=None`` reads ``SPECINV_FULLRUN_LANE`` at call (= trace) time;
+    public wrappers pass :func:`lane_enabled` eagerly instead so flipping
+    the valve mid-process takes effect (see fullrun_lane.supports)."""
     from .fullrun_lane import supports as lane_supports
 
-    return lane_supports(cfg) and block_t >= cfg.n_fft // cfg.hop_length - 1
+    return (lane_supports(cfg, lane)
+            and block_t >= cfg.n_fft // cfg.hop_length - 1)
+
+
+def lane_enabled() -> bool:
+    """Eager read of the ``SPECINV_FULLRUN_LANE`` A/B valve (default on).
+    Public wrappers call this per-call and thread the result down as the
+    static ``lane`` argument."""
+    import os
+
+    return os.environ.get("SPECINV_FULLRUN_LANE", "1") != "0"
 
 
 def stats_eval_enabled() -> bool:
@@ -416,6 +432,7 @@ def fused_gl_run(
     w_loss: jnp.ndarray | None = None,
     valid_t: int = 0,
     pack: int = 1,
+    lane: bool | None = None,
 ):
     """Run ``n_iters`` fused GL iterations in one launch -> final x_pad (B, Lx).
 
@@ -444,7 +461,7 @@ def fused_gl_run(
     """
     from .fullrun_lane import fused_run_lane
 
-    if lane_active(cfg, block_t):
+    if lane_active(cfg, block_t, lane):
         # lane-major + hop-row-slab engine: no sublane relayouts in the hot
         # path, ~4x the (m, 128) kernel at the north star (module docstring)
         return fused_run_lane(

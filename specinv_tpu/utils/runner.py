@@ -75,7 +75,12 @@ def stats_eval_fns(metric: str, target, axes=None):
     the target's own sum of squares (metrics.py formulas; for SNR note the
     reference normalizes both sides by the *target* norm, so it reduces to
     ``-10*log10(sum_diff2 / sum_tgt2)``).  Values match the array path up
-    to f32 summation order.
+    to f32 summation order — NOT bitwise: a ``tol`` sitting within a few
+    ULPs of the loss at some segment boundary can legitimately stop one
+    segment earlier/later between ``SPECINV_FULLRUN_STATS=0/1`` (ADVICE
+    r4).  The parity tests keep ``tol`` far from the decision boundary
+    (``tol=1.0`` trips on the first eval regardless of summation order);
+    production runs with a razor-edge tol should pin one eval path.
     """
     get_metric(metric)  # validate the name (same error surface as iterate)
     n_local = jnp.float32(target.size)

@@ -182,3 +182,128 @@ def test_lbfgs_quality_speech():
 def test_speech_corpus_is_deterministic():
     assert np.array_equal(CLIP, make_speech_like(int(1.2 * SR), sr=SR, seed=11))
     assert np.abs(CLIP).max() == pytest.approx(0.9)
+
+
+# ---------------------------------------------------------------------------
+# Self-goldens: OUR trajectories pinned against checked-in records
+# ---------------------------------------------------------------------------
+#
+# The reference-parity tests above allow 0.5 dB equal-quality bands past the
+# Lyapunov horizon (ADMM/RTISI/L-BFGS), so a 0.3 dB SELF-regression from a
+# future kernel/engine change would pass them.  This suite replays the same
+# algorithms against OUR OWN recorded metrics (tests/goldens/self_quality.json,
+# regenerate with scripts/gen_self_goldens.py) at a 1e-5 dB band — any
+# trajectory change bigger than benign f64 summation-order noise fails loudly.
+#
+# Pinning chain: these goldens pin the XLA (CPU x64) trajectories; the Pallas
+# kernels are pinned to the XLA path bitwise by tests/test_pallas.py, so a
+# quality-costing kernel change surfaces in one suite or the other.
+# Band notes: CPU x64 trajectories are deterministic for a fixed jax/XLA
+# build; a jax upgrade that reorders FFT summation may need goldens
+# regenerated (documented in the goldens file's "band" note).
+
+_GOLDEN_PATH = __file__.rsplit("/", 1)[0] + "/goldens/self_quality.json"
+_SELF_BAND_DB = 1e-5
+
+
+def _self_metrics(y, mag):
+    """SC/SNR/SER via OUR stft (float64), torch-free."""
+    m = jnp.abs(si.stft(jnp.asarray(np.asarray(y), jnp.float64), n_fft=N_FFT))
+    t = jnp.asarray(mag)
+    return {
+        "sc": float(sc(m, t)),
+        "snr": float(snr(m, t)),
+        "ser": float(ser(m, t)),
+    }
+
+
+def _mag_np(n_fft=N_FFT):
+    """Magnitude via OUR stft (float64) — the self-golden input."""
+    return np.asarray(
+        jnp.abs(si.stft(jnp.asarray(CLIP, jnp.float64), n_fft=n_fft))
+    )
+
+
+def self_golden_cases():
+    """name -> zero-arg callable returning the metric dict to pin.
+
+    Shared between the generator (scripts/gen_self_goldens.py) and the
+    tests below so the replay is the generation, byte for byte.
+    """
+    mag = _mag_np()
+
+    def gl(iters):
+        def run():
+            y = si.griffin_lim(mag, max_iter=iters, tol=0.0, verbose=False)
+            return _self_metrics(y, mag)
+
+        return run
+
+    def admm(iters):
+        def run():
+            y = si.admm(mag, max_iter=iters, tol=0.0, verbose=False)
+            return _self_metrics(y, mag)
+
+        return run
+
+    def rtisi(asym, max_iter):
+        def run():
+            y = si.rtisi_la(
+                mag, look_ahead=3, asymmetric_window=asym,
+                max_iter=max_iter, verbose=False,
+            )
+            return _self_metrics(y, mag)
+
+        return run
+
+    def lbfgs():
+        def j_trsfn(x):
+            return jnp.abs(si.stft(x, n_fft=N_FFT))
+
+        def run():
+            y = si.l_bfgs(
+                mag, j_trsfn, [CLIP.size], outer_max_iter=20, tol=0.0,
+                verbose=False, max_iter=10, lr=1.0, history_size=10,
+            )
+            return _self_metrics(y, mag)
+
+        return run
+
+    return {
+        "gl_10": gl(10),
+        "gl_100": gl(100),
+        "gl_500": gl(500),
+        "admm_25": admm(25),
+        "admm_200": admm(200),
+        "rtisi_sym_8": rtisi(False, 8),
+        "rtisi_asym_32": rtisi(True, 32),
+        "lbfgs_20x10": lbfgs(),
+    }
+
+
+def _load_goldens():
+    import json
+
+    with open(_GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+_SELF_CASES = (
+    "gl_10", "gl_100", "gl_500", "admm_25", "admm_200",
+    "rtisi_sym_8", "rtisi_asym_32", "lbfgs_20x10",
+)
+
+
+def test_self_golden_case_list_is_current():
+    assert tuple(sorted(_SELF_CASES)) == tuple(sorted(self_golden_cases()))
+
+
+@pytest.mark.parametrize("name", _SELF_CASES)
+def test_self_golden_trajectory(name):
+    """Our SC/SNR/SER at this (algorithm, horizon) matches the checked-in
+    self-golden to 1e-5 dB — catches a 0.1 dB self-regression with 4 orders
+    of magnitude of margin, independent of the reference-parity bands."""
+    golden = _load_goldens()[name]
+    got = self_golden_cases()[name]()
+    for k in ("sc", "snr", "ser"):
+        assert abs(got[k] - golden[k]) < _SELF_BAND_DB, (name, k, got, golden)
