@@ -37,7 +37,7 @@ Numerics are bitwise-identical to the (m, 128) kernels: the radix
 expression tree, twiddles, dot contractions, projection and epilogue run
 the same ops in the same order (the OLA regrouping only commutes the final
 two-operand add per boundary row), validated bitwise in
-scripts/exp_lane2d.py and tests/test_pallas4.py.  North star measured
+scripts/exp_lane2d.py and tests/test_pallas.py.  North star measured
 28.8 us/iter median vs ~116 us for the (m, 128) whole-run kernel in the
 same session (serialized compute floor ~26 us — see benchmarks.md).
 
@@ -85,11 +85,154 @@ def _pad_rows(v, before: int, after: int, hop: int):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else v
 
 
-def _repad_rows(
+def _fast_repad_plan(pad_mode: str, p_amt: int, e: int, hop: int, rows_c: int):
+    """Static plan for :func:`_repad_rows_fast`, or None -> flat fallback.
+
+    Per side: the written flat range [f_lo, f_hi], its affine source map
+    (``src(f) = a - f`` for reflect, ``src(f) = f + b`` for wrap), and the
+    8-aligned output/source row windows.  All arithmetic is python-static
+    (p_amt/e/hop are trace constants), so the kernel's reads/stores carry
+    static offsets and the row-select matrices are numpy constants.
+    """
+    if pad_mode not in ("reflect", "wrap") or not p_amt:
+        return None
+    if rows_c % 8:
+        return None
+    reflect = pad_mode == "reflect"
+
+    def side(f_lo, f_hi, coef):
+        # coef = a (reflect, src = a - f) or b (wrap, src = f + b)
+        r0, r1 = f_lo // hop, f_hi // hop
+        w_start = r0 - r0 % 8
+        w_cnt = _roundup(r1 + 1 - w_start, 8)
+        ends = (coef - f_lo, coef - f_hi) if reflect else (
+            f_lo + coef, f_hi + coef)
+        s_lo, s_hi = min(ends), max(ends)
+        if s_lo < 0 or s_hi >= rows_c * hop:
+            return None
+        s_r0 = s_lo // hop
+        s_start = s_r0 - s_r0 % 8
+        s_cnt = _roundup(s_hi // hop + 1 - s_start, 8)
+        if s_start + s_cnt > rows_c:
+            s_start = rows_c - s_cnt
+            if s_start < 0:
+                return None
+        return dict(f_lo=f_lo, f_hi=f_hi, coef=coef, w_start=w_start,
+                    w_cnt=w_cnt, s_start=s_start, s_cnt=s_cnt)
+
+    left = side(0, p_amt - 1, 2 * p_amt if reflect else e - p_amt + 1)
+    right = side(e + 1, e + p_amt, 2 * e if reflect else p_amt - e - 1)
+    if left is None or right is None:
+        return None
+    # Disjoint 8-aligned stores (left store must not be reverted by the
+    # right store's passthrough of pre-store values, and vice versa).
+    if right["w_start"] < left["w_start"] + left["w_cnt"]:
+        return None
+    if right["w_start"] + right["w_cnt"] > rows_c:
+        return None
+    if left["w_start"] + left["w_cnt"] > rows_c:
+        return None
+    return {"reflect": reflect, "left": left, "right": right}
+
+
+def _row_select(plan_side, hop: int, reflect: bool):
+    """(R1, R2) 0/1 row-select factors for one side (see _repad_rows_fast):
+    out row i of the output window reads source-window row ``R1`` when the
+    lane is below the split, ``R2`` above it.
+
+    Because the source row is affine in the output row, each factor is a
+    single (anti-)diagonal band — built IN-KERNEL from iota comparisons
+    (Pallas rejects captured array constants), masked to the rows actually
+    written."""
+    w_start, w_cnt = plan_side["w_start"], plan_side["w_cnt"]
+    s_start, s_cnt = plan_side["s_start"], plan_side["s_cnt"]
+    coef = plan_side["coef"]
+    r_lo = plan_side["f_lo"] // hop - w_start   # window-relative write rows
+    r_hi = plan_side["f_hi"] // hop - w_start
+    ii = jax.lax.broadcasted_iota(jnp.int32, (w_cnt, s_cnt), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (w_cnt, s_cnt), 1)
+    row_ok = jnp.logical_and(ii >= r_lo, ii <= r_hi)
+    if reflect:
+        d1 = coef // hop - w_start - s_start    # j + i == d1
+        band1, band2 = ii + jj == d1, ii + jj == d1 - 1
+    else:
+        d1 = w_start + coef // hop - s_start    # j - i == d1
+        band1, band2 = jj - ii == d1, jj - ii == d1 + 1
+    one, zero = jnp.float32(1.0), jnp.float32(0.0)
+    R1 = jnp.where(jnp.logical_and(row_ok, band1), one, zero)
+    R2 = jnp.where(jnp.logical_and(row_ok, band2), one, zero)
+    return R1, R2
+
+
+def _repad_rows_fast(
+    slab_s, wr, anti_ref, plan, p_amt: int, e: int, hop: int,
+    base: int,
+):
+    """Hop-row-layout edge re-pad: no flatten relayouts, no (p, p) table.
+
+    Per side, the affine pad map splits into (source-row select) x
+    (lane permutation): the lane permutation is one shared (hop, hop)
+    anti-identity dot (reflect only) plus a static ``pltpu.roll`` lane
+    rotation, the row select is a tiny 0/1 matmul, and the split between
+    the two candidate source rows is a lane-iota select.  Values are exact
+    copies (0/1 matmuls in HIGHEST), so waveforms stay bitwise identical
+    to the flat `_repad_rows_flat` path; measured ~6-12 us/iter faster at
+    the reflect north star (scripts/exp_r5_gap.py attribution).
+
+    Reads of both sides happen before either store (matching
+    models/_pallas_driver.repad_edges, which computes left and right from
+    the pre-write signal).
+    """
+    row = pl.ds(wr, 1)
+    reflect = plan["reflect"]
+    hi = jax.lax.Precision.HIGHEST
+
+    def compute(ps):
+        w_start, w_cnt = ps["w_start"], ps["w_cnt"]
+        s_start, s_cnt = ps["s_start"], ps["s_cnt"]
+        coef, f_lo, f_hi = ps["coef"], ps["f_lo"], ps["f_hi"]
+        xwin = slab_s[row, pl.ds(base + s_start, s_cnt), :][0]
+        if reflect:
+            # W[q, c] = X[q, (coef - c) mod hop]: lane flip + static rotate
+            y = jnp.dot(xwin, anti_ref[...],
+                        preferred_element_type=jnp.float32, precision=hi)
+            w = pltpu.roll(y, jnp.int32((coef + 1) % hop), 1)
+            split = coef % hop  # lanes c <= split read row q1
+            lane_cond_leq = True
+        else:
+            # W[q, c] = X[q, (c + coef) mod hop]: static rotate only
+            w = pltpu.roll(xwin, jnp.int32((-coef) % hop), 1)
+            split = hop - (coef % hop)  # lanes c < split read row q1
+            lane_cond_leq = False
+        R1, R2 = _row_select(ps, hop, reflect)
+        a1 = jnp.dot(R1, w, preferred_element_type=jnp.float32, precision=hi)
+        a2 = jnp.dot(R2, w, preferred_element_type=jnp.float32, precision=hi)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (w_cnt, hop), 1)
+        if lane_cond_leq:
+            computed = jnp.where(lane <= split, a1, a2)
+        else:
+            computed = jnp.where(lane < split, a1, a2)
+        cur = slab_s[row, pl.ds(base + w_start, w_cnt), :][0]
+        flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (w_cnt, hop), 0) + w_start
+        ) * hop + lane
+        mask = jnp.logical_and(flat >= f_lo, flat <= f_hi)
+        return w_start, w_cnt, jnp.where(mask, computed, cur)
+
+    # all reads before either store (compute() reads xwin + cur)
+    lw, lc, lv = compute(plan["left"])
+    rw, rc, rv = compute(plan["right"])
+    slab_s[row, pl.ds(base + lw, lc), :] = lv[None]
+    slab_s[row, pl.ds(base + rw, rc), :] = rv[None]
+
+
+def _repad_rows_flat(
     slab_s, wr, jrev_ref, pad_mode: str, p_amt: int, e: int, hop: int,
     base: int, rows_c: int,
 ):
-    """Edge re-pad of one clip's (rows_c, hop) slab region.
+    """Edge re-pad of one clip's (rows_c, hop) slab region (flat fallback;
+    also the only implementation for pad_mode='edge', whose broadcasts are
+    already cheap).
 
     The pad regions live at samples [0, p_amt) and [e+1, e+1+p_amt) of the
     clip's flat coordinates; their sources depend on ``pad_mode`` (mirrors
@@ -191,6 +334,7 @@ def _kernel(
     pad_mode: str,
     p_amt: int,
     e: int,
+    repad_plan,
     fwd_p,
     inv_p,
     np_tables,
@@ -403,23 +547,38 @@ def _kernel(
                 ] = tail_s[c, pl.ds(0, K - 1), :][None]
             idx = (pl.ds(wr, 1), pl.ds(base, rows_c), slice(None))
             slab_s[idx] = slab_s[idx] * env_ref[0, pl.ds(base, rows_c), :]
-            _repad_rows(
-                slab_s, wr, jrev_ref, pad_mode, p_amt, e, hop, base, rows_c
-            )
+            if repad_plan is not None:
+                _repad_rows_fast(
+                    slab_s, wr, jrev_ref, repad_plan, p_amt, e, hop, base
+                )
+            else:
+                _repad_rows_flat(
+                    slab_s, wr, jrev_ref, pad_mode, p_amt, e, hop, base,
+                    rows_c,
+                )
 
     @pl.when(jnp.logical_and(i == n_iters - 1, t == n_t - 1))
     def _emit():
         x_out_ref[...] = slab_s[pl.ds(wr, 1)]
 
 
-def supports(cfg: STFTConfig) -> bool:
+def supports(cfg: STFTConfig, enabled: bool | None = None) -> bool:
     """Lane kernel needs the hop-row slab: hop | n_fft (on top of the
     dispatcher-level 128 | hop, 128 | n_fft).  ``SPECINV_FULLRUN_LANE=0``
     disables the engine (A/B safety valve; the (m, 128) kernels are
-    bitwise-identical)."""
-    import os
+    bitwise-identical).
 
-    if os.environ.get("SPECINV_FULLRUN_LANE", "1") == "0":
+    ``enabled=None`` reads the env var HERE — which is trace time when the
+    caller sits under jit, so flips after the first trace of a shape do
+    nothing for that shape (the jit cache key excludes env vars).  Public
+    wrappers read the env var eagerly per call and pass the result down as
+    a static ``lane`` argument instead (same treatment as
+    ``SPECINV_FULLRUN_STATS`` / ``stats_eval``)."""
+    if enabled is None:
+        import os
+
+        enabled = os.environ.get("SPECINV_FULLRUN_LANE", "1") != "0"
+    if not enabled:
         return False
     return (
         cfg.n_fft % cfg.hop_length == 0
@@ -520,8 +679,11 @@ def fused_run_lane(
     np_tables = {k: v for k, v in tables.items() if k not in TABLE_KEYS}
     p_amt = cfg.pad_amount
     pad_mode = cfg.jnp_pad_mode
-    if p_amt and pad_mode == "reflect":
-        jrev = _anti_identity(p_amt)
+    repad_plan = _fast_repad_plan(pad_mode, p_amt, e, hop, rows_c)
+    if repad_plan is not None and repad_plan["reflect"]:
+        jrev = _anti_identity(hop)       # shared (hop, hop) lane flip
+    elif p_amt and pad_mode == "reflect":
+        jrev = _anti_identity(p_amt)     # flat-fallback (p, p) reversal
     else:
         jrev = np.zeros((8, LANE), np.float32)
 
@@ -532,7 +694,7 @@ def fused_run_lane(
     kernel = functools.partial(
         _kernel, algo=algo, block_t=block_t, n_fft=n_fft, hop=hop,
         K=K, ext=ext, rows_c=rows_c,
-        pad_mode=pad_mode, p_amt=p_amt, e=e,
+        pad_mode=pad_mode, p_amt=p_amt, e=e, repad_plan=repad_plan,
         fwd_p=fwd_p, inv_p=inv_p, np_tables=np_tables, n_iters=n_iters,
         emit_state=emit_state, with_mag=with_mag, with_loss=with_loss,
         t_blocked=t_blocked,

@@ -256,6 +256,41 @@ def test_supports_predicate():
     assert not gl_fused.supports(cfg2, jnp.asarray(w2))
 
 
+@pytest.mark.parametrize("algo", ["gl", "admm"])
+@pytest.mark.parametrize("pad_mode", ["reflect", "circular"])
+@pytest.mark.parametrize("n_samp", [22050, 22050 + 77])
+def test_lane_fast_repad_bitwise_vs_flat(algo, pad_mode, n_samp, monkeypatch):
+    """The hop-row-layout fast repad (roll + banded 0/1 dots) is bitwise
+    identical to the flat-strip fallback — both are exact copies, so the
+    whole-run waveform must match at atol=0.  The odd clip length varies
+    the right edge's lane offset (e % hop) to exercise the banded row
+    split; the plan must actually be active for the default geometry."""
+    from specinv_tpu.ops.pallas import fullrun_lane
+
+    from specinv_tpu.models._pallas_driver import make_geometry4
+
+    x = make_signal((n_samp,), dtype=np.float32)
+    spec = _mag(x, 512, 128, pad_mode=pad_mode)
+    fn = ADMM if algo == "admm" else griffin_lim
+    kw = dict(hop_length=128, pad_mode=pad_mode, max_iter=4, tol=0.0,
+              verbose=False, backend="pallas4")
+    # the fast plan must actually be active for this geometry
+    cfg, _ = canonicalize(257, np.float32, hop_length=128, pad_mode=pad_mode)
+    geo = make_geometry4(cfg, spec.shape[1], block_t=None)
+    K = cfg.n_fft // cfg.hop_length
+    rows_c = geo.t_pad + fullrun_lane.ext_rows(K)
+    assert fullrun_lane._fast_repad_plan(
+        cfg.jnp_pad_mode, cfg.pad_amount, geo.e, cfg.hop_length, rows_c
+    ) is not None
+    a = np.asarray(fn(spec, eva_iter=23, **kw))
+    monkeypatch.setattr(fullrun_lane, "_fast_repad_plan",
+                        lambda *args, **k: None)
+    # eva_iter is unused at tol=0 but static — busts the jit cache so the
+    # flat-fallback layout actually re-traces
+    b = np.asarray(fn(spec, eva_iter=24, **kw))
+    np.testing.assert_allclose(b, a, atol=0)
+
+
 @pytest.mark.parametrize("backend", ["pallas", "pallas4"])
 @pytest.mark.parametrize("rho", [0.1, 1.0])
 def test_admm_parity(rho, backend):
