@@ -8,7 +8,7 @@ and the sc/snr/ser metrics — all on-device, differentiable, batch-shardable
 over a TPU mesh.
 """
 name = "specinv_tpu"
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 from .metrics import sc, ser, snr, spectral_convergence  # noqa: F401
 from .models import (  # noqa: F401

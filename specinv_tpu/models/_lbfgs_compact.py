@@ -44,27 +44,44 @@ from jax.scipy.linalg import solve_triangular
 
 
 def tree_matvec(stacked, vec):
-    """``(m, *leaf)`` stacked tree  x  tree  ->  (m,) dots."""
-    parts = jax.tree.leaves(
-        jax.tree.map(
-            lambda s, v: jnp.einsum(
-                "i...,...->i", s, v.astype(s.dtype)
-            ),
-            stacked,
-            vec,
-        )
-    )
+    """``(m, *leaf)`` stacked tree  x  tree  ->  (m,) dots.
+
+    When the history is stored narrower than the vector (opt-in
+    ``history_dtype='bfloat16'``), products accumulate in the VECTOR's
+    dtype (f32 accumulate over bf16 rows — the MXU's native mixed mode);
+    the equal-dtype path keeps the original op order bit-for-bit."""
+
+    def mv(s, v):
+        if s.dtype == v.dtype:
+            return jnp.einsum("i...,...->i", s, v.astype(s.dtype))
+        return jnp.einsum("i...,...->i", s, v,
+                          preferred_element_type=v.dtype)
+
+    parts = jax.tree.leaves(jax.tree.map(mv, stacked, vec))
     out = parts[0]
     for p in parts[1:]:
         out = out + p
     return out
 
 
-def tree_weighted_rows(stacked, w):
-    """``sum_i w_i * stacked[i]`` -> tree shaped like one row."""
-    return jax.tree.map(
-        lambda s: jnp.tensordot(w.astype(s.dtype), s, axes=1), stacked
-    )
+def tree_weighted_rows(stacked, w, like=None):
+    """``sum_i w_i * stacked[i]`` -> tree shaped like one row.
+
+    ``like`` (a tree matching one row) sets the accumulation dtype per
+    leaf when the history rows are stored narrower (bf16 rows, f32
+    accumulate); without it — or when dtypes already match — the original
+    op order is kept bit-for-bit."""
+
+    def wr(s, ref=None):
+        dt = s.dtype if ref is None else ref.dtype
+        if s.dtype == dt:
+            return jnp.tensordot(w.astype(s.dtype), s, axes=1)
+        return jnp.tensordot(w.astype(dt), s, axes=1,
+                             preferred_element_type=dt)
+
+    if like is None:
+        return jax.tree.map(wr, stacked)
+    return jax.tree.map(wr, stacked, like)
 
 
 def compact_direction(u, sbuf, ybuf, rho, gram, perm, valid, gamma):
@@ -103,7 +120,7 @@ def compact_direction(u, sbuf, ybuf, rho, gram, perm, valid, gamma):
     q = jax.tree.map(
         lambda uu, ay: uu - ay.astype(uu.dtype),
         u,
-        tree_weighted_rows(ybuf, alpha_phys),
+        tree_weighted_rows(ybuf, alpha_phys, like=u),
     )
     r0 = jax.tree.map(lambda qq: gamma.astype(qq.dtype) * qq, q)
 
@@ -115,7 +132,7 @@ def compact_direction(u, sbuf, ybuf, rho, gram, perm, valid, gamma):
     return jax.tree.map(
         lambda rr, cs: rr + cs.astype(rr.dtype),
         r0,
-        tree_weighted_rows(sbuf, c_phys),
+        tree_weighted_rows(sbuf, c_phys, like=r0),
     )
 
 
@@ -142,7 +159,8 @@ class ScaleByCompactLBFGSState(NamedTuple):
 
 
 def scale_by_compact_lbfgs(
-    memory_size: int = 10, scale_init_precond: bool = True
+    memory_size: int = 10, scale_init_precond: bool = True,
+    memory_dtype=None,
 ):
     """Drop-in for ``optax.scale_by_lbfgs`` computing the identical
     preconditioned updates through the compact representation.
@@ -153,6 +171,11 @@ def scale_by_compact_lbfgs(
     step: capped inverse grad norm).  Complex parameters (which
     ``optax.lbfgs`` supports via conjugating vdots) are rejected rather than
     silently mis-preconditioned — use optax's transform for those.
+
+    ``memory_dtype`` (opt-in, e.g. ``jnp.bfloat16``) stores the s/y memory
+    narrower than the parameters, halving the matvec HBM traffic; dots
+    still accumulate in the parameter dtype.  Approximate — no longer
+    bit-matches ``optax.scale_by_lbfgs``.
     """
 
     def init_fn(params):
@@ -163,7 +186,11 @@ def scale_by_compact_lbfgs(
                     "use optax.scale_by_lbfgs for complex trees"
                 )
         stacked = jax.tree.map(
-            lambda leaf: jnp.zeros((memory_size,) + leaf.shape, leaf.dtype),
+            lambda leaf: jnp.zeros(
+                (memory_size,) + leaf.shape,
+                leaf.dtype if memory_dtype is None else jnp.dtype(
+                    memory_dtype),
+            ),
             params,
         )
         return ScaleByCompactLBFGSState(
@@ -188,7 +215,7 @@ def scale_by_compact_lbfgs(
             (diff_params, diff_updates, weight),
         )
         dpm, dum, wm = jax.tree.map(
-            lambda x, y: x.at[prev_idx].set(y),
+            lambda x, y: x.at[prev_idx].set(jnp.asarray(y, x.dtype)),
             (
                 state.diff_params_memory,
                 state.diff_updates_memory,
@@ -228,11 +255,14 @@ def scale_by_compact_lbfgs(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def compact_lbfgs_optimizer(memory_size: int, max_linesearch_steps: int = 20):
+def compact_lbfgs_optimizer(
+    memory_size: int, max_linesearch_steps: int = 20, memory_dtype=None
+):
     """``optax.lbfgs(memory_size=...)`` with the compact-representation
     preconditioner (same chain: precondition -> scale(-1) -> zoom)."""
     return optax.chain(
-        scale_by_compact_lbfgs(memory_size=memory_size),
+        scale_by_compact_lbfgs(memory_size=memory_size,
+                               memory_dtype=memory_dtype),
         optax.scale(-1.0),
         optax.scale_by_zoom_linesearch(
             max_linesearch_steps=max_linesearch_steps,

@@ -44,13 +44,22 @@ class TorchLBFGSState(NamedTuple):
     gram: jnp.ndarray       # (m, m) S Y^T for the compact direction
 
 
-def init_state(x0: jnp.ndarray, history_size: int) -> TorchLBFGSState:
+def init_state(
+    x0: jnp.ndarray, history_size: int, history_dtype=None
+) -> TorchLBFGSState:
+    """``history_dtype`` (opt-in, e.g. ``jnp.bfloat16``) stores the (m, n)
+    s/y history rows narrower than the waveform — halving the HBM traffic
+    the compact direction's matvecs stream (its cost is bandwidth-bound at
+    history 100; benchmarks.md L-BFGS bandwidth table) — while every dot
+    accumulates in the waveform dtype.  Approximate (rows round to bf16):
+    NOT torch-trajectory-exact, quality-checked in tests/test_lbfgs.py."""
     dt = x0.dtype
+    ht = dt if history_dtype is None else jnp.dtype(history_dtype)
     return TorchLBFGSState(
         d=jnp.zeros_like(x0),
         t=jnp.zeros((), dt),
-        ybuf=jnp.zeros((history_size, *x0.shape), dt),
-        sbuf=jnp.zeros((history_size, *x0.shape), dt),
+        ybuf=jnp.zeros((history_size, *x0.shape), ht),
+        sbuf=jnp.zeros((history_size, *x0.shape), ht),
         rho=jnp.zeros((history_size,), dt),
         hist=jnp.zeros((), jnp.int32),
         head=jnp.zeros((), jnp.int32),
@@ -154,8 +163,11 @@ def lbfgs_step(
             ys = _vdot(y, s)
             upd = ys > CURVATURE_EPS
             m = st.ybuf.shape[0]
-            ybuf = st.ybuf.at[st.head].set(jnp.where(upd, y, st.ybuf[st.head]))
-            sbuf = st.sbuf.at[st.head].set(jnp.where(upd, s, st.sbuf[st.head]))
+            ht = st.ybuf.dtype  # may be narrower (history_dtype; init_state)
+            ybuf = st.ybuf.at[st.head].set(
+                jnp.where(upd, y.astype(ht), st.ybuf[st.head]))
+            sbuf = st.sbuf.at[st.head].set(
+                jnp.where(upd, s.astype(ht), st.sbuf[st.head]))
             rho = st.rho.at[st.head].set(
                 jnp.where(upd, 1.0 / ys, st.rho[st.head])
             )

@@ -63,6 +63,7 @@ from .common import as_array
         "verbose",
         "mode",
         "direction",
+        "history_dtype",
     ),
 )
 def run(
@@ -83,6 +84,7 @@ def run(
     verbose: bool = False,
     mode: str = "fori",
     direction: str = "compact",
+    history_dtype: str | None = None,
 ) -> jnp.ndarray:
     def loss_fn(x):
         return _mse(transform_fn(x), target)
@@ -91,7 +93,8 @@ def run(
         if direction == "compact":
             from ._lbfgs_compact import compact_lbfgs_optimizer
 
-            opt = compact_lbfgs_optimizer(memory_size=history_size)
+            opt = compact_lbfgs_optimizer(memory_size=history_size,
+                                          memory_dtype=history_dtype)
         else:
             opt = optax.lbfgs(memory_size=history_size)
         # Reuse the value/grad the zoom line search already computed.
@@ -140,7 +143,8 @@ def run(
             )
             return (x, st), transform_fn(x)
 
-        state = (x0, init_state(x0, history_size))
+        state = (x0, init_state(x0, history_size,
+                                history_dtype=history_dtype))
 
     state = iterate(
         outer_step,
@@ -176,6 +180,7 @@ def L_BFGS(
     history_size: int = 100,
     line_search_fn: Optional[str] = None,
     direction: str = "auto",
+    history_dtype: Optional[str] = None,
 ):
     """Reference-parity entry point (methods.py:509-569).
 
@@ -200,6 +205,14 @@ def L_BFGS(
     on TPU (see :mod:`._lbfgs_compact`); ``'two_loop'`` keeps the sequential
     recursion (torch's exact floating-point summation order); ``'auto'``
     (default) resolves to ``'compact'``.
+
+    ``history_dtype`` (TPU extension, opt-in): ``'bfloat16'`` stores the
+    (history_size, n) s/y rows in bf16 while accumulating every dot in the
+    waveform dtype — the compact direction is HBM-bandwidth-bound at
+    torch's default history 100 (benchmarks.md L-BFGS bandwidth table), so
+    this halves its streaming cost.  Approximate: the trajectory is no
+    longer torch-exact (quality pinned in tests/test_lbfgs.py); requires
+    ``direction='compact'``.  ``None`` (default) keeps full precision.
     """
     target = as_array(spec)
     if init_x0 is None:
@@ -220,6 +233,13 @@ def L_BFGS(
         raise ValueError(f"unsupported direction {direction!r}")
     if direction == "auto":
         direction = "compact"
+    if history_dtype is not None:
+        if direction != "compact":
+            raise ValueError(
+                "history_dtype requires direction='compact' (the two-loop "
+                "recursion keeps torch's exact summation order)"
+            )
+        history_dtype = str(jnp.dtype(history_dtype))  # validate + hashable
     if max_eval is None:
         max_eval = max_iter * 5 // 4  # torch.optim.LBFGS default
 
@@ -241,6 +261,7 @@ def L_BFGS(
         verbose=verbose,
         mode=mode,
         direction=direction,
+        history_dtype=history_dtype,
     )
 
 
