@@ -85,6 +85,41 @@ def _pad_rows(v, before: int, after: int, hop: int):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else v
 
 
+def _pipe_ok() -> bool:
+    """Master switch for the cross-block software pipeline in
+    :func:`_kernel` — OFF by default: no pipelined schedule beat the
+    serial one on hardware (round 5), so the serial schedule ships.  The
+    pipeline code and its bitwise tests remain as the record and the A/B
+    valve.
+
+    Measured at the GL north star (interleaved same-session marginals,
+    min-of-rounds; serial = 28.4 µs/iter const / 29.6 reflect):
+
+    * HALF-BLOCK split — two 32-row t-halves, phases reordered inside one
+      grid step: **+3.2 µs/iter** (scripts/exp_r5_split.py).  Halving the
+      Karatsuba leaf-dot row count costs more MXU pipeline drain than the
+      overlap recovers.
+    * IN-KERNEL-FORI cross-block pipeline (this code) — grid (G,
+      n_iters), t loop in a fori, fwd(t) + back-half(t-1) per step with
+      the forward spectrum as a loop carry: **neutral** (29.49 vs 29.63
+      reflect, 28.48 vs 28.44 const — inside session noise;
+      scripts/exp_r5_pipe.py).  The MXU/VPU overlap the probe measured
+      for register-resident chains (1.5x at (64, 128) ~32 KB values,
+      scripts/exp_r5_overlap.py) does not materialize at phase-sized
+      (~1 MB) cross-block operands, which round-trip through VMEM either
+      way.
+
+    Conclusion recorded in benchmarks.md: the serial schedule IS the
+    right schedule at these operand sizes — the lane engine sits at its
+    ~26 µs serialized compute floor, and the 18-20 µs
+    perfectly-overlapped bound is not reachable by instruction-level
+    scheduling on this hardware generation.  Serial stays default (equal
+    speed, half the trace/compile size — the pipeline instantiates the
+    back half twice).
+    """
+    return False
+
+
 def _fast_repad_plan(pad_mode: str, p_amt: int, e: int, hop: int, rows_c: int):
     """Static plan for :func:`_repad_rows_fast`, or None -> flat fallback.
 
@@ -164,9 +199,31 @@ def _row_select(plan_side, hop: int, reflect: bool):
     return R1, R2
 
 
+def _perm_dot3(x, p_bf16):
+    """EXACT permutation matmul in 3 bf16 MXU passes (vs HIGHEST's 6).
+
+    ``p_bf16`` is a 0/1 permutation matrix (bf16-exact).  The f32 operand
+    splits into three bf16 chunks that reconstruct it exactly (each
+    remainder is computed exactly in f32 — the chunk is within a factor 2
+    of it — and the last remainder has <= 8 mantissa bits left, so it is
+    bf16-representable); each pass permutes one chunk exactly (single 0/1
+    products, f32 accumulate), and the f32 re-sum is exact for the same
+    disjoint-mantissa reason.  Verified bitwise against the HIGHEST dot by
+    test_lane_fast_repad_bitwise_vs_flat.
+    """
+    d = lambda a: jax.lax.dot_general(  # noqa: E731
+        a, p_bf16, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xh = x.astype(jnp.bfloat16)
+    r1 = x - xh.astype(jnp.float32)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (d(xh) + d(xm)) + d(xl)
+
+
 def _repad_rows_fast(
     slab_s, wr, anti_ref, plan, p_amt: int, e: int, hop: int,
-    base: int,
+    base: int, sides=("left", "right"),
 ):
     """Hop-row-layout edge re-pad: no flatten relayouts, no (p, p) table.
 
@@ -193,9 +250,10 @@ def _repad_rows_fast(
         coef, f_lo, f_hi = ps["coef"], ps["f_lo"], ps["f_hi"]
         xwin = slab_s[row, pl.ds(base + s_start, s_cnt), :][0]
         if reflect:
-            # W[q, c] = X[q, (coef - c) mod hop]: lane flip + static rotate
-            y = jnp.dot(xwin, anti_ref[...],
-                        preferred_element_type=jnp.float32, precision=hi)
+            # W[q, c] = X[q, (coef - c) mod hop]: lane flip + static rotate.
+            # The flip is an EXACT 3-pass bf16 permutation dot (the table
+            # is 0/1 and stored bf16) — half the MXU passes of HIGHEST.
+            y = _perm_dot3(xwin, anti_ref[...])
             w = pltpu.roll(y, jnp.int32((coef + 1) % hop), 1)
             split = coef % hop  # lanes c <= split read row q1
             lane_cond_leq = True
@@ -219,11 +277,13 @@ def _repad_rows_fast(
         mask = jnp.logical_and(flat >= f_lo, flat <= f_hi)
         return w_start, w_cnt, jnp.where(mask, computed, cur)
 
-    # all reads before either store (compute() reads xwin + cur)
-    lw, lc, lv = compute(plan["left"])
-    rw, rc, rv = compute(plan["right"])
-    slab_s[row, pl.ds(base + lw, lc), :] = lv[None]
-    slab_s[row, pl.ds(base + rw, rc), :] = rv[None]
+    # all reads before either store (compute() reads xwin + cur); the
+    # pipelined kernel re-pads the two sides at different points of the
+    # schedule (``sides``) — the plan's disjoint-window precondition makes
+    # the split exactly equivalent to the combined call
+    done = [compute(plan[s]) for s in sides]
+    for (w_start, w_cnt, val) in done:
+        slab_s[row, pl.ds(base + w_start, w_cnt), :] = val[None]
 
 
 def _repad_rows_flat(
@@ -346,6 +406,8 @@ def _kernel(
     pack: int,
     valid_t: int,
     leaf_dots: bool,
+    pipe: bool,
+    n_t_static: int,
 ):
     ntab = len(TABLE_KEYS)
     tab_refs = rest[:ntab]
@@ -369,196 +431,295 @@ def _kernel(
     slab_s, st_re_s, st_im_s, tail_s = outs[k:]
 
     i = pl.program_id(1)
-    t = pl.program_id(2)
-    n_t = pl.num_programs(2)
+    if pipe:
+        # 2D grid (G, n_iters): the t loop lives IN-KERNEL (below) so
+        # consecutive blocks share one instruction stream
+        t = None
+        n_t = n_t_static
+    else:
+        t = pl.program_id(2)
+        n_t = pl.num_programs(2)
     rd = jax.lax.rem(i, jnp.int32(2))  # framing reads slab[rd] ...
     wr = 1 - rd                        # ... OLA writes slab[wr]
-    t0 = t * block_t
     window = win_ref[0, :]
     tables = dict(np_tables)
     tables.update({k: r[...] for k, r in zip(TABLE_KEYS, tab_refs)})
 
-    @pl.when(jnp.logical_and(i == 0, t == 0))
+    def _init_cond():
+        return i == 0 if pipe else jnp.logical_and(i == 0, t == 0)
+
+    @pl.when(_init_cond())
     def _init_x():
+        # BOTH buffers: OLA + tail only ever write rows [0, t_pad + K - 1)
+        # per clip; the remaining ext slack rows must still be defined
+        # (framing windows over-read them — values discarded by the roll
+        # slice — and the emitted x trims them), and with the envelope
+        # applied inline at the OLA stores (below) there is no whole-slab
+        # pass left to zero them.  x0 arrives zero-padded, so copying it
+        # into both buffers pins the slack rows to 0 for the whole run.
         slab_s[pl.ds(0, 1)] = x0_ref[...]
+        slab_s[pl.ds(1, 1)] = x0_ref[...]
 
     # Packed planes are t-block-major (rows [(t*pack + c)*block_t + r] hold
     # clip c's frame t*block_t + r), so step t's rows for all packed clips
     # are one contiguous slice.
-    sl = pl.ds(t * pack * block_t, pack * block_t)
-
-    def _plane(ref):
-        # t_blocked: the ref window IS this step's slab (streamed);
-        # resident: the ref holds the whole plane, slice it.
-        return ref[0] if t_blocked else ref[0, sl]
-
     @pl.when(i == 0)
     def _init_state():
-        st_re_s[sl] = _plane(st0_re_ref)
-        st_im_s[sl] = _plane(st0_im_ref)
+        if pipe:  # whole plane at once (always resident under pipe)
+            st_re_s[...] = st0_re_ref[0]
+            st_im_s[...] = st0_im_ref[0]
+        else:
+            sl = pl.ds(t * pack * block_t, pack * block_t)
+            st_re_s[sl] = st0_re_ref[0] if t_blocked else st0_re_ref[0, sl]
+            st_im_s[sl] = st0_im_ref[0] if t_blocked else st0_im_ref[0, sl]
 
-    # --- framing: one aligned (block_t + ext, hop) read per clip; the K
-    # row shifts are sublane rotations of the loaded value
-    pieces = []
-    for c in range(pack):
-        base = c * rows_c
-        win8 = slab_s[pl.ds(rd, 1), pl.ds(base + t0, block_t + ext), :][0]
-        fp = [
-            (
-                win8 if j == 0
-                # i32 literal: a python-int shift weak-types to i64 under
-                # jax_enable_x64 and tpu.dynamic_rotate requires i32
-                else pltpu.roll(win8, jnp.int32(block_t + ext - j), 0)
-            )[:block_t]
-            for j in range(K)
-        ]
-        pieces.append(jnp.concatenate(fp, axis=1) if K > 1 else fp[0])
-    frames = (
-        jnp.concatenate(pieces, axis=0) if pack > 1 else pieces[0]
-    ) * window
+    # ------------------------------------------------------------------
+    # Cross-block software pipeline (round 5).  Serial (``pipe=False``),
+    # each grid step runs [fwd(t) -> project(t) -> inv(t) -> OLA(t)] — the
+    # MXU idles during every VPU phase (framing, radix stages, projection,
+    # OLA) because each phase consumes the previous one's outputs.
+    # Pipelined, the t loop moves IN-KERNEL (grid = (G, n_iters)) and each
+    # fori step runs **fwd(t)** then **the full back half of block t-1**
+    # with the forward spectrum carried as a loop value: the previous
+    # block's VPU phases execute while this block's Karatsuba dots occupy
+    # the MXU, and its inverse dots queue behind them, keeping the MXU fed
+    # (measured 1.5x per chain step for interleaved dot->vpu chains in a
+    # fori body, scripts/exp_r5_overlap.py).  In-kernel fori rather than
+    # grid steps is load-bearing: a grid-step variant of the same schedule
+    # (pending spectrum through double-buffered scratch, predicated
+    # boundary handling) measured a ~9 µs/iter REGRESSION — grid-step
+    # sequencing barriers + predication + the scratch roundtrip cost more
+    # than the overlap recovers (scripts/exp_r5_pipe.py, round-5 notes in
+    # benchmarks.md); the RTISI multi-frame kernel's 2x established the
+    # same pattern.
+    #
+    # BITWISE-invariant: every block runs the identical ops in the
+    # identical order relative to its own data; only the interleaving
+    # across independent blocks changes, plus one exact-value refactor —
+    # the inverse envelope multiplies each OLA store instead of the whole
+    # slab at iteration end (same final sum, one multiply, same value).
+    # Pinned by test_lane_pipe_bitwise.
+    # ------------------------------------------------------------------
 
-    s_re, s_im = fft4.fwd4_lane(frames, tables, fwd_p, leaf_dots)
+    def read_scr(scr, t_):
+        return scr[pl.ds(t_ * pack * block_t, pack * block_t)]
 
-    if with_mag or with_loss:
-        # Metric output = pre-update |stft(x)| (methods.py:242 / 464-465),
-        # only needed for the final (eval) iteration of the launch.
-        @pl.when(i == n_iters - 1)
-        def _emit_mag():
-            mg = jnp.sqrt(s_re * s_re + s_im * s_im)
-            if with_mag:
-                if t_blocked:
-                    mag_ref[0] = mg
-                else:
-                    mag_ref[0, sl] = mg
-            if with_loss:
-                # Scalar eval stats instead of the full magnitude plane:
-                # row 0 = sum w*(|S|-tgt)^2, row 1 = sum w*|S|^2, over the
-                # valid (unpadded) frame rows — w is the Hermitian onesided
-                # weight (0.5 off the DC/Nyquist lanes), so the sums equal
-                # the XLA path's onesided-trimmed reductions exactly (up to
-                # f32 summation order).  sc/snr/ser and the stop loss are
-                # all derivable from these two plus a target constant.
-                rows = pack * block_t
-                local = jax.lax.broadcasted_iota(
-                    jnp.int32, (rows, n_fft), 0)
-                if rows != block_t:
-                    local = jax.lax.rem(local, jnp.int32(block_t))
-                mgv = jnp.where((t0 + local) < valid_t, mg, jnp.float32(0.0))
-                w = wloss_ref[0, :]
-                d = mgv - _plane(tgt_ref)  # tgt is zero on padded rows
-                s0 = jnp.sum(w * d * d)
-                s1 = jnp.sum(w * mgv * mgv)
-                part = jnp.concatenate(
-                    [jnp.full((1, LANE), s0, jnp.float32),
-                     jnp.full((1, LANE), s1, jnp.float32),
-                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
-                prev = jnp.where(t == 0, jnp.float32(0.0), loss_ref[0])
-                loss_ref[0] = prev + part
+    def write_scr(scr, t_, val):
+        scr[pl.ds(t_ * pack * block_t, pack * block_t)] = val
+
+    def rplane(ref, t_):
+        if t_blocked:
+            return ref[0]
+        return ref[0, pl.ds(t_ * pack * block_t, pack * block_t)]
+
+    def wplane(ref, t_, val):
+        if t_blocked:
+            ref[0] = val
+        else:
+            ref[0, pl.ds(t_ * pack * block_t, pack * block_t)] = val
+
+    def p1(t_, rd_):
+        """Forward half of block ``t_``: framing (one aligned
+        (block_t + ext, hop) read per clip; the K row shifts are sublane
+        rotations of the loaded value) + the four-step forward transform.
+        """
+        t0_ = t_ * block_t
+        pieces = []
+        for c in range(pack):
+            base = c * rows_c
+            win8 = slab_s[
+                pl.ds(rd_, 1), pl.ds(base + t0_, block_t + ext), :
+            ][0]
+            fp = [
+                (
+                    win8 if j == 0
+                    # i32 literal: a python-int shift weak-types to i64
+                    # under jax_enable_x64; tpu.dynamic_rotate wants i32
+                    else pltpu.roll(win8, jnp.int32(block_t + ext - j), 0)
+                )[:block_t]
+                for j in range(K)
+            ]
+            pieces.append(jnp.concatenate(fp, axis=1) if K > 1 else fp[0])
+        frames = (
+            jnp.concatenate(pieces, axis=0) if pack > 1 else pieces[0]
+        ) * window
+        return fft4.fwd4_lane(frames, tables, fwd_p, leaf_dots)
 
     scalar = scalar_ref[0, 0]
-    if algo == "gl":
-        # momentum S - lr*pre (methods.py:243-244) then magnitude projection
-        s_re = s_re - scalar * st_re_s[sl]
-        s_im = s_im - scalar * st_im_s[sl]
-        st_re_s[sl] = s_re
-        st_im_s[sl] = s_im
-        new_re, new_im = s_re, s_im
-        norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
-        gain = _plane(tgt_ref) / norm
-        p_re = s_re * gain
-        p_im = s_im * gain
-    else:  # admm — DR-reduced update chain (admm_fused4 module docstring)
-        y_re = st_re_s[sl]
-        y_im = st_im_s[sl]
-        onep = 1.0 + scalar
-        z_re = (scalar * y_re + s_re) / onep
-        z_im = (scalar * y_im + s_im) / onep
-        u_re = y_re - z_re
-        u_im = y_im - z_im
-        t_re = z_re - u_re
-        t_im = z_im - u_im
-        norm = jnp.sqrt(t_re * t_re + t_im * t_im) + PROJ_EPS
-        gain = _plane(tgt_ref) / norm
-        yn_re = t_re * gain + u_re
-        yn_im = t_im * gain + u_im
-        # mask padded rows (ADMM's dual would give them Y != 0)
-        rows = pack * block_t
-        local = jax.lax.broadcasted_iota(jnp.int32, (rows, n_fft), 0)
-        if rows != block_t:
-            local = jax.lax.rem(local, jnp.int32(block_t))
-        valid = (t0 + local) < valid_t
-        z = jnp.float32(0.0)
-        yn_re = jnp.where(valid, yn_re, z)
-        yn_im = jnp.where(valid, yn_im, z)
-        st_re_s[sl] = yn_re
-        st_im_s[sl] = yn_im
-        new_re, new_im = yn_re, yn_im
-        p_re, p_im = yn_re, yn_im
 
-    if emit_state:
-        @pl.when(i == n_iters - 1)
-        def _emit_state():
-            if t_blocked:
-                st_out_re_ref[0] = new_re
-                st_out_im_ref[0] = new_im
+    def p2(t_, wr_, s_re, s_im):
+        """Back half of block ``t_`` (iteration ``i``): eval emission,
+        momentum/projection + state update, inverse transform, OLA."""
+        t0_ = t_ * block_t
+        if with_mag or with_loss:
+            # Metric output = pre-update |stft(x)| (methods.py:242 /
+            # 464-465), only needed for the final (eval) iteration.
+            @pl.when(i == n_iters - 1)
+            def _emit_mag():
+                mg = jnp.sqrt(s_re * s_re + s_im * s_im)
+                if with_mag:
+                    wplane(mag_ref, t_, mg)
+                if with_loss:
+                    # Scalar eval stats instead of the full magnitude
+                    # plane: row 0 = sum w*(|S|-tgt)^2, row 1 =
+                    # sum w*|S|^2, over the valid (unpadded) frame rows —
+                    # w is the Hermitian onesided weight (0.5 off the
+                    # DC/Nyquist lanes), so the sums equal the XLA path's
+                    # onesided-trimmed reductions exactly (up to f32
+                    # summation order).  sc/snr/ser and the stop loss are
+                    # all derivable from these two plus a target constant.
+                    rows = pack * block_t
+                    local = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, n_fft), 0)
+                    if rows != block_t:
+                        local = jax.lax.rem(local, jnp.int32(block_t))
+                    mgv = jnp.where(
+                        (t0_ + local) < valid_t, mg, jnp.float32(0.0))
+                    w = wloss_ref[0, :]
+                    d = mgv - rplane(tgt_ref, t_)  # tgt zero on pads
+                    s0 = jnp.sum(w * d * d)
+                    s1 = jnp.sum(w * mgv * mgv)
+                    part = jnp.concatenate(
+                        [jnp.full((1, LANE), s0, jnp.float32),
+                         jnp.full((1, LANE), s1, jnp.float32),
+                         jnp.zeros((6, LANE), jnp.float32)], axis=0)
+                    prev = jnp.where(
+                        t_ == 0, jnp.float32(0.0), loss_ref[0])
+                    loss_ref[0] = prev + part
+
+        if algo == "gl":
+            # momentum S - lr*pre (methods.py:243-244), then projection
+            s_re = s_re - scalar * read_scr(st_re_s, t_)
+            s_im = s_im - scalar * read_scr(st_im_s, t_)
+            write_scr(st_re_s, t_, s_re)
+            write_scr(st_im_s, t_, s_im)
+            new_re, new_im = s_re, s_im
+            norm = jnp.sqrt(s_re * s_re + s_im * s_im) + PROJ_EPS
+            gain = rplane(tgt_ref, t_) / norm
+            p_re = s_re * gain
+            p_im = s_im * gain
+        else:  # admm — DR-reduced chain (admm_fused4 module docstring)
+            y_re = read_scr(st_re_s, t_)
+            y_im = read_scr(st_im_s, t_)
+            onep = 1.0 + scalar
+            z_re = (scalar * y_re + s_re) / onep
+            z_im = (scalar * y_im + s_im) / onep
+            u_re = y_re - z_re
+            u_im = y_im - z_im
+            t_re = z_re - u_re
+            t_im = z_im - u_im
+            norm = jnp.sqrt(t_re * t_re + t_im * t_im) + PROJ_EPS
+            gain = rplane(tgt_ref, t_) / norm
+            yn_re = t_re * gain + u_re
+            yn_im = t_im * gain + u_im
+            # mask padded rows (ADMM's dual would give them Y != 0)
+            rows = pack * block_t
+            local = jax.lax.broadcasted_iota(jnp.int32, (rows, n_fft), 0)
+            if rows != block_t:
+                local = jax.lax.rem(local, jnp.int32(block_t))
+            valid = (t0_ + local) < valid_t
+            z = jnp.float32(0.0)
+            yn_re = jnp.where(valid, yn_re, z)
+            yn_im = jnp.where(valid, yn_im, z)
+            write_scr(st_re_s, t_, yn_re)
+            write_scr(st_im_s, t_, yn_im)
+            new_re, new_im = yn_re, yn_im
+            p_re, p_im = yn_re, yn_im
+
+        if emit_state:
+            @pl.when(i == n_iters - 1)
+            def _emit_state():
+                wplane(st_out_re_ref, t_, new_re)
+                wplane(st_out_im_ref, t_, new_im)
+
+        fr = fft4.inv4_real_lane(p_re, p_im, tables, inv_p, leaf_dots)
+        fr = fr * window
+
+        # --- overlap-add: local accumulation + one aligned store + carry
+        # tail.  The accumulator is SEEDED with the previous block's carry
+        # tail (zeros elsewhere / at t_ == 0) and the frame terms are
+        # added in ascending-j order — the exact per-element add grouping
+        # of the old slab-RMW loop (gl_fused4.ola_rows), so the layout
+        # switch is bitwise, not just close.  The inverse envelope
+        # multiplies the stored rows HERE (same final sums as the old
+        # whole-slab pass at iteration end).
+        for c in range(pack):
+            frc = fr[c * block_t : (c + 1) * block_t] if pack > 1 else fr
+            base = c * rows_c
+            if K > 1:
+                # select, not multiply: at t_ == 0 the tail scratch is
+                # UNWRITTEN (NaN-filled in interpret mode, arbitrary on
+                # hardware) and NaN * 0.0 would poison the whole head
+                tail_prev = jnp.where(
+                    t_ != 0, tail_s[c, pl.ds(0, K - 1), :], jnp.float32(0.0)
+                )
+                acc = _pad_rows(tail_prev, 0, block_t, hop)
             else:
-                st_out_re_ref[0, sl] = new_re
-                st_out_im_ref[0, sl] = new_im
+                acc = None
+            for j in range(K):
+                term = _pad_rows(
+                    frc[:, j * hop : (j + 1) * hop], j, K - 1 - j, hop
+                )
+                acc = term if acc is None else acc + term
+            slab_s[pl.ds(wr_, 1), pl.ds(base + t0_, block_t), :] = (
+                acc[:block_t] * env_ref[0, pl.ds(base + t0_, block_t), :]
+            )[None]
+            if K > 1:
+                tail_s[c, pl.ds(0, K - 1), :] = acc[block_t:]
 
-    fr = fft4.inv4_real_lane(p_re, p_im, tables, inv_p, leaf_dots) * window
-
-    # --- overlap-add: local accumulation + one aligned store + carry tail.
-    # The accumulator is SEEDED with the previous block's carry tail (zeros
-    # elsewhere / at t == 0) and the frame terms are added in ascending-j
-    # order — the exact per-element add grouping of the old slab-RMW loop
-    # (gl_fused4.ola_rows), so the switch is bitwise, not just close.
-    for c in range(pack):
-        frc = fr[c * block_t : (c + 1) * block_t] if pack > 1 else fr
-        base = c * rows_c
-        if K > 1:
-            # select, not multiply: at t == 0 the tail scratch is UNWRITTEN
-            # (NaN-filled in interpret mode, arbitrary on hardware) and
-            # NaN * 0.0 would poison the whole head
-            tail_prev = jnp.where(
-                t != 0, tail_s[c, pl.ds(0, K - 1), :], jnp.float32(0.0)
-            )
-            acc = _pad_rows(tail_prev, 0, block_t, hop)
-        else:
-            acc = None
-        for j in range(K):
-            term = _pad_rows(
-                frc[:, j * hop : (j + 1) * hop], j, K - 1 - j, hop
-            )
-            acc = term if acc is None else acc + term  # (block_t + K-1, hop)
-        slab_s[pl.ds(wr, 1), pl.ds(base + t0, block_t), :] = acc[:block_t][
-            None
-        ]
-        if K > 1:
-            tail_s[c, pl.ds(0, K - 1), :] = acc[block_t:]
-
-    @pl.when(t == n_t - 1)
-    def _finish():
+    def finish(wr_):
+        """Iteration epilogue on slab ``wr_``: flush the OLA carry tail
+        (envelope applied inline, matching the OLA stores) and re-apply
+        the edge padding."""
         t0l = (n_t - 1) * block_t
         for c in range(pack):
             base = c * rows_c
             if K > 1:
-                slab_s[
-                    pl.ds(wr, 1), pl.ds(base + t0l + block_t, K - 1), :
-                ] = tail_s[c, pl.ds(0, K - 1), :][None]
-            idx = (pl.ds(wr, 1), pl.ds(base, rows_c), slice(None))
-            slab_s[idx] = slab_s[idx] * env_ref[0, pl.ds(base, rows_c), :]
+                rowsl = pl.ds(base + t0l + block_t, K - 1)
+                slab_s[pl.ds(wr_, 1), rowsl, :] = (
+                    tail_s[c, pl.ds(0, K - 1), :]
+                    * env_ref[0, rowsl, :]
+                )[None]
             if repad_plan is not None:
                 _repad_rows_fast(
-                    slab_s, wr, jrev_ref, repad_plan, p_amt, e, hop, base
+                    slab_s, wr_, jrev_ref, repad_plan, p_amt, e, hop, base
                 )
             else:
                 _repad_rows_flat(
-                    slab_s, wr, jrev_ref, pad_mode, p_amt, e, hop, base,
+                    slab_s, wr_, jrev_ref, pad_mode, p_amt, e, hop, base,
                     rows_c,
                 )
 
-    @pl.when(jnp.logical_and(i == n_iters - 1, t == n_t - 1))
-    def _emit():
+    if not pipe:
+        s_re, s_im = p1(t, rd)
+        p2(t, wr, s_re, s_im)
+
+        @pl.when(t == n_t - 1)
+        def _finish():
+            finish(wr)
+
+        @pl.when(jnp.logical_and(i == n_iters - 1, t == n_t - 1))
+        def _emit():
+            x_out_ref[...] = slab_s[pl.ds(wr, 1)]
+        return
+
+    # pipelined: one iteration per grid step, t in-kernel.  fwd(t) issues
+    # before the back half of t-1 consumes the carried spectrum, so the
+    # two blocks' MXU/VPU phases interleave in one instruction stream.
+    s0 = p1(jnp.int32(0), rd)
+
+    def body(t_, carry):
+        sp_re, sp_im = carry
+        s_re, s_im = p1(t_, rd)
+        p2(t_ - 1, wr, sp_re, sp_im)
+        return (s_re, s_im)
+
+    s_last = jax.lax.fori_loop(1, n_t, body, s0)
+    p2(jnp.int32(n_t - 1), wr, *s_last)
+    finish(wr)
+
+    @pl.when(i == n_iters - 1)
+    def _emit_pipe():
         x_out_ref[...] = slab_s[pl.ds(wr, 1)]
 
 
@@ -681,7 +842,8 @@ def fused_run_lane(
     pad_mode = cfg.jnp_pad_mode
     repad_plan = _fast_repad_plan(pad_mode, p_amt, e, hop, rows_c)
     if repad_plan is not None and repad_plan["reflect"]:
-        jrev = _anti_identity(hop)       # shared (hop, hop) lane flip
+        # bf16 storage: 0/1 is bf16-exact and _perm_dot3 needs it split-free
+        jrev = jnp.asarray(_anti_identity(hop), jnp.bfloat16)
     elif p_amt and pad_mode == "reflect":
         jrev = _anti_identity(p_amt)     # flat-fallback (p, p) reversal
     else:
@@ -689,6 +851,11 @@ def fused_run_lane(
 
     if with_loss:
         assert w_loss is not None and valid_t > 0
+
+    # Cross-block pipeline gating (see the kernel's pipeline comment):
+    # resident planes only — the t loop moves in-kernel, which forgoes the
+    # grid's revolving window DMA the t_blocked layout depends on.
+    pipe = _pipe_ok() and not t_blocked
 
     fwd_p, inv_p = split_schemes(precision)
     kernel = functools.partial(
@@ -699,13 +866,22 @@ def fused_run_lane(
         emit_state=emit_state, with_mag=with_mag, with_loss=with_loss,
         t_blocked=t_blocked,
         pack=pack, valid_t=valid_t, leaf_dots=leaf_dots,
+        pipe=pipe, n_t_static=n_t,
     )
-    grid = (G, n_iters, n_t)
-    whole = lambda b, i, t: (b, 0, 0)  # noqa: E731
-    sig = pl.BlockSpec((1, pack * rows_c, hop), lambda b, i, t: (b, 0, 0))
-    env_spec = pl.BlockSpec((1, pack * rows_c, hop), lambda b, i, t: (0, 0, 0))
+    # pipelined: the t loop lives in-kernel, so the grid loses its t axis
+    # and every index map takes (b, i); serial keeps the (b, i, t) grid.
+    grid = (G, n_iters) if pipe else (G, n_iters, n_t)
+    gsel = lambda b_idx, z_idx: (  # noqa: E731
+        (lambda b, i: (b_idx(b, i, 0), z_idx(b, i, 0), 0)) if pipe
+        else (lambda b, i, t: (b_idx(b, i, t), z_idx(b, i, t), 0))
+    )
+    whole = gsel(lambda b, i, t: b, lambda b, i, t: 0)
+    zero2 = (lambda b, i: (0, 0)) if pipe else (lambda b, i, t: (0, 0))
+    sig = pl.BlockSpec((1, pack * rows_c, hop), whole)
+    env_spec = pl.BlockSpec(
+        (1, pack * rows_c, hop), gsel(lambda b, i, t: 0, lambda b, i, t: 0))
     if t_blocked:
-        blk = pl.BlockSpec(
+        blk = pl.BlockSpec(  # never pipelined (driver gating)
             (1, pack * block_t, n_fft), lambda b, i, t: (b, t, 0)
         )
     else:
@@ -721,8 +897,7 @@ def fused_run_lane(
         out_specs.append(blk)
         out_shape.append(plane)
     if with_loss:
-        out_specs.append(
-            pl.BlockSpec((1, 8, LANE), lambda b, i, t: (b, 0, 0)))
+        out_specs.append(pl.BlockSpec((1, 8, LANE), whole))
         out_shape.append(jax.ShapeDtypeStruct((G, 8, LANE), jnp.float32))
 
     # Donate the state buffers: x0 -> x (always; both are fetched/flushed
@@ -745,13 +920,13 @@ def fused_run_lane(
             sig,                                                 # x0
             blk, blk, blk,                                       # tgt, st0
             *[
-                pl.BlockSpec(tables[k].shape, lambda b, i, t: (0, 0))
+                pl.BlockSpec(tables[k].shape, zero2)
                 for k in TABLE_KEYS
             ],
-            pl.BlockSpec((1, n_fft), lambda b, i, t: (0, 0)),    # window
+            pl.BlockSpec((1, n_fft), zero2),                     # window
             env_spec,                                            # inv_env
-            pl.BlockSpec(jrev.shape, lambda b, i, t: (0, 0)),    # jrev
-            *([pl.BlockSpec((1, n_fft), lambda b, i, t: (0, 0))]
+            pl.BlockSpec(jrev.shape, zero2),                     # jrev
+            *([pl.BlockSpec((1, n_fft), zero2)]
               if with_loss else []),                             # w_loss
         ],
         out_specs=out_specs,

@@ -257,6 +257,34 @@ def test_supports_predicate():
 
 
 @pytest.mark.parametrize("algo", ["gl", "admm"])
+@pytest.mark.parametrize("early", [False, True])
+@pytest.mark.parametrize("pad_mode", ["reflect", "constant"])
+def test_lane_pipe_bitwise(algo, early, pad_mode, monkeypatch):
+    """The cross-block software pipeline (fullrun_lane._kernel: in-kernel
+    fori over t, fwd(t) + back-half(t-1) per step, inline-envelope OLA)
+    is pure schedule restructuring: waveforms must match the serial path
+    at atol=0, including through the early-stop/eval path (stop decision
+    at a non-borderline tol must not move).  The pipeline ships OFF (a
+    measured hardware regression — _pipe_ok docstring); this pins the
+    preserved A/B valve."""
+    from specinv_tpu.ops.pallas import fullrun_lane
+
+    x = make_signal((22050,), dtype=np.float32)
+    spec = _mag(x, 512, 128, pad_mode=pad_mode)
+    fn = ADMM if algo == "admm" else griffin_lim
+    kw = dict(hop_length=128, max_iter=8, verbose=False, backend="pallas4",
+              pad_mode=pad_mode)
+    kw.update(dict(tol=1.0, eva_iter=4) if early else dict(tol=0.0))
+    monkeypatch.setattr(fullrun_lane, "_pipe_ok", lambda: True)
+    a = np.asarray(fn(spec, **kw))
+    monkeypatch.setattr(fullrun_lane, "_pipe_ok", lambda: False)
+    # pack=1 == the auto policy at B=1 but busts the jit cache, so the
+    # serial schedule actually re-traces
+    b = np.asarray(fn(spec, pack=1, **kw))
+    np.testing.assert_allclose(b, a, atol=0)
+
+
+@pytest.mark.parametrize("algo", ["gl", "admm"])
 @pytest.mark.parametrize("pad_mode", ["reflect", "circular"])
 @pytest.mark.parametrize("n_samp", [22050, 22050 + 77])
 def test_lane_fast_repad_bitwise_vs_flat(algo, pad_mode, n_samp, monkeypatch):
