@@ -48,7 +48,10 @@ def make_mag(kind):
     else:
         x = rng.standard_normal((SR * 10,)).astype(np.float32)
     window = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
-    cfg, w = canonicalize(N_FFT // 2 + 1, np.float32, window=window)
+    # constant pad everywhere: no repad in either path, so the pub-vs-dir
+    # delta is pure driver cost
+    cfg, w = canonicalize(N_FFT // 2 + 1, np.float32, window=window,
+                          pad_mode="constant")
     wj = jnp.asarray(w)
     mag = jnp.swapaxes(jnp.abs(stft_ops.stft(jnp.asarray(x), cfg, wj)), -1, -2)
     return mag, window, cfg, wj
@@ -58,9 +61,11 @@ def public_variant(kind):
     mag, window, _, _ = make_mag(kind)
 
     def f(it, m):
+        # pad_mode='constant' so the only delta vs dir_* is the public
+        # driver (same kernel geometry, no repad)
         return jnp.sum(si.griffin_lim(
             m, max_iter=it, tol=0.0, verbose=False, window=window,
-            backend="pallas4"))
+            backend="pallas4", pad_mode="constant"))
 
     g = jax.jit(f, static_argnums=0)
     return lambda it: g(it, mag)
