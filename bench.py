@@ -534,7 +534,7 @@ def full_suite():
     print("| config | throughput | wall |")
     print("|---|---|---|")
     timed(
-        "ADMM 100 it (auto = four-step fullrun)",
+        "ADMM 100 it (auto = lane-engine fullrun)",
         lambda: si.ADMM(mag, max_iter=100, tol=0.0, verbose=False, window=window),
         100,
     )
