@@ -7,10 +7,18 @@ the public GL north-star path (n_fft=2048, 10 s clip, B=1):
   split_const   / whole_const   — repad-free floor, pipeline on/off
 
 The split reorders the block's phases so one half's MXU dots execute
-under the other's VPU phases (fullrun_lane._kernel pipeline comment);
-the overlap probe measured 1.5x per chain step for two interleaved
-dot->vpu chains (scripts/exp_r5_overlap.py).  Bitwise-identical
-waveforms (test_lane_half_split_bitwise).
+under the other's VPU phases; the overlap probe measured 1.5x per chain
+step for two interleaved dot->vpu chains (scripts/exp_r5_overlap.py).
+
+HISTORICAL RECORD: the half-split variant measured +3.2 us/iter (a
+regression — halving the Karatsuba leaf-dot row count costs more MXU
+pipeline drain than the recovered overlap; benchmarks.md round-5 update)
+and was removed from fullrun_lane before it ever landed in a commit, so
+its ``_half_split_ok`` valve no longer exists and this script exits with
+a pointer here instead of running.  The surviving pipeline experiment
+(in-kernel fori, also neutral-or-worse) is scripts/exp_r5_pipe.py, whose
+``_pipe_ok`` valve ships disabled and bitwise-pinned by
+tests/test_pallas.py::test_lane_pipe_bitwise.
 """
 import json
 import sys
@@ -29,7 +37,13 @@ from specinv_tpu.ops import stft as stft_ops  # noqa: E402
 from specinv_tpu.ops.pallas import fullrun_lane  # noqa: E402
 
 SR, N_FFT = 22050, 2048
-REAL = fullrun_lane._half_split_ok
+REAL = getattr(fullrun_lane, "_half_split_ok", None)
+if REAL is None:
+    sys.exit(
+        "the half-block split variant was removed from fullrun_lane after "
+        "measuring +3.2 us/iter (see module docstring / benchmarks.md "
+        "round-5 update); this script is kept as the methodology record"
+    )
 
 
 def make_runner(pad_mode, split, eva):

@@ -440,7 +440,7 @@ def run_tm_pallas4(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "pack", "remat", "stats_eval"),
+    static_argnames=("cfg", "max_iter", "eva_iter", "metric", "verbose", "mode", "backend", "early_stop", "precision", "loss_psum_axes", "pack", "remat", "stats_eval", "lane"),
 )
 def _full_run(
     spec_b3: jnp.ndarray,
@@ -460,6 +460,7 @@ def _full_run(
     pack=None,
     remat: bool = False,
     stats_eval: bool | None = None,
+    lane: bool | None = None,
 ) -> jnp.ndarray:
     if pack is not None and backend != "pallas4":
         # Fail-loud (see griffin_lim._full_run): packing is a whole-run-
@@ -493,6 +494,7 @@ def _full_run(
             pack=pack,
             remat=remat,
             stats_eval=stats_eval,
+            lane=lane,
         )
     if backend == "pallas":
         return run_tm_pallas.__wrapped__(
@@ -589,8 +591,8 @@ def ADMM(
                 "hop % 128 == 0, real window; use backend='auto' instead"
             )
     real_dtype = jnp.zeros((), dtype=spec_b3.dtype).real.dtype
-    # Eager env read, passed down as a static arg (see griffin_lim).
-    from ..ops.pallas.gl_fullrun4 import stats_eval_enabled
+    # Eager env reads, passed down as static args (see griffin_lim).
+    from ..ops.pallas.gl_fullrun4 import lane_enabled, stats_eval_enabled
 
     def launch(bk):
         return _full_run(
@@ -611,6 +613,7 @@ def ADMM(
             pack=pack,
             remat=remat,
             stats_eval=stats_eval_enabled(),
+            lane=lane_enabled(),
         )
 
     x = run_with_vmem_demotion(

@@ -223,7 +223,7 @@ def _perm_dot3(x, p_bf16):
 
 def _repad_rows_fast(
     slab_s, wr, anti_ref, plan, p_amt: int, e: int, hop: int,
-    base: int, sides=("left", "right"),
+    base: int,
 ):
     """Hop-row-layout edge re-pad: no flatten relayouts, no (p, p) table.
 
@@ -277,11 +277,8 @@ def _repad_rows_fast(
         mask = jnp.logical_and(flat >= f_lo, flat <= f_hi)
         return w_start, w_cnt, jnp.where(mask, computed, cur)
 
-    # all reads before either store (compute() reads xwin + cur); the
-    # pipelined kernel re-pads the two sides at different points of the
-    # schedule (``sides``) — the plan's disjoint-window precondition makes
-    # the split exactly equivalent to the combined call
-    done = [compute(plan[s]) for s in sides]
+    # all reads before either store (compute() reads xwin + cur)
+    done = [compute(plan[s]) for s in ("left", "right")]
     for (w_start, w_cnt, val) in done:
         slab_s[row, pl.ds(base + w_start, w_cnt), :] = val[None]
 

@@ -804,3 +804,40 @@ def test_remat_grads_match_pallas4(which, tol):
     g1 = np.asarray(jax.grad(lambda s: loss(s, True))(jnp.asarray(spec)))
     assert np.isfinite(g1).all()
     np.testing.assert_allclose(g1, g0, atol=1e-7 * np.abs(g0).max())
+
+
+@pytest.mark.parametrize("algo", ["gl", "admm"])
+def test_lane_valve_eager_per_call(algo, monkeypatch):
+    """SPECINV_FULLRUN_LANE is read eagerly by the PUBLIC entry points and
+    threaded down as a static jit arg (ADVICE r4): flipping the valve
+    mid-process must change the dispatched engine on the very next call,
+    for griffin_lim AND ADMM — the jit cache key excludes env vars, so a
+    trace-time read would silently pin the first value per shape.  The
+    spy counts lane-engine traces; the odd clip length busts any cache
+    entries earlier tests created for the standard shapes."""
+    from specinv_tpu.ops.pallas import fullrun_lane
+
+    calls = []
+    real = fullrun_lane.fused_run_lane
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(fullrun_lane, "fused_run_lane", spy)
+    x = make_signal((22050 + 13,), dtype=np.float32)
+    spec = _mag(x, 512, 128)
+    fn = ADMM if algo == "admm" else griffin_lim
+    kw = dict(hop_length=128, max_iter=4, tol=0.0, verbose=False,
+              backend="pallas4")
+    monkeypatch.setenv("SPECINV_FULLRUN_LANE", "1")
+    a = np.asarray(fn(spec, **kw))
+    assert calls, "lane engine must dispatch for this geometry"
+    n1 = len(calls)
+    monkeypatch.setenv("SPECINV_FULLRUN_LANE", "0")
+    b = np.asarray(fn(spec, **kw))
+    assert len(calls) == n1, "valve off must take effect on the next call"
+    monkeypatch.setenv("SPECINV_FULLRUN_LANE", "1")
+    c = np.asarray(fn(spec, **kw))
+    np.testing.assert_allclose(b, a, atol=0)  # engines are bitwise twins
+    np.testing.assert_allclose(c, a, atol=0)
